@@ -1,0 +1,163 @@
+"""Transformer building blocks: pre-norm encoder layer, sinusoidal
+positions, multi-head attention with optional clipped relative positions.
+
+Functional equivalents of the reference's OpenNMT-derived modules
+(trainer/model/modules/{transformer,multi_headed_attn,position_ffn}.py):
+
+  * pre-norm residual layout: ``x + dropout(attn(LN(x)))`` then a
+    post-norm FFN block ``LN → Linear → ReLU → Linear → +residual``
+    (transformer.py:61-100, position_ffn.py:28-39)
+  * masking fills logits with a large negative before softmax
+    (multi_headed_attn.py:215-217); mask semantics: True = masked out
+  * clipped relative-position embeddings added to keys (and values)
+    (multi_headed_attn.py:9-41,186-229)
+
+The attention core is a single einsum chain that XLA maps onto the MXU;
+no handwritten kernel needed at these sequence lengths (≤ ~500 frames).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LN_EPS = 1e-6
+
+
+def sinusoidal_positions(max_len: int, dim: int) -> np.ndarray:
+    """Sinusoidal positional encodings (transformer.py:15-58)."""
+    if dim % 2 != 0:
+        raise ValueError(f"odd dim {dim} not supported for sin/cos encoding")
+    pe = np.zeros((max_len, dim), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, dim, 2, dtype=np.float32) * -(math.log(10000.0) / dim))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    dim: int
+    dropout_rate: float = 0.0
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray, step: Optional[int] = None, deterministic: bool = True):
+        pe = jnp.asarray(sinusoidal_positions(self.max_len, self.dim))
+        emb = emb * math.sqrt(self.dim)
+        if step is None:
+            emb = emb + pe[None, : emb.shape[1], :]
+        else:
+            emb = emb + pe[step][None, None, :]
+        return nn.Dropout(self.dropout_rate)(emb, deterministic=deterministic)
+
+
+def relative_positions_matrix(length: int, max_relative_positions: int) -> jnp.ndarray:
+    """Clipped relative position ids shifted to [0, 2*max] (multi_headed_attn.py:9-25)."""
+    r = jnp.arange(length)
+    dist = r[None, :] - r[:, None]
+    clipped = jnp.clip(dist, -max_relative_positions, max_relative_positions)
+    return clipped + max_relative_positions
+
+
+class MultiHeadedAttention(nn.Module):
+    """Scaled dot-product MHA; ``mask`` is (B, Tq, Tk) bool, True = disallow."""
+
+    head_count: int
+    model_dim: int
+    dropout_rate: float = 0.1
+    max_relative_positions: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        query: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h, dim = self.head_count, self.model_dim
+        d_head = dim // h
+        b, tq = query.shape[0], query.shape[1]
+        tk = key.shape[1]
+
+        def split_heads(x):
+            return x.reshape(x.shape[0], x.shape[1], h, d_head).transpose(0, 2, 1, 3)
+
+        k = split_heads(nn.Dense(dim, name="linear_keys")(key))
+        v = split_heads(nn.Dense(dim, name="linear_values")(value))
+        q = split_heads(nn.Dense(dim, name="linear_query")(query))
+
+        q = q / math.sqrt(d_head)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+
+        if self.max_relative_positions > 0 and tq == tk:
+            rel_ids = relative_positions_matrix(tk, self.max_relative_positions)
+            rel_k = nn.Embed(2 * self.max_relative_positions + 1, d_head, name="relative_positions_embeddings")(rel_ids)
+            # scores += q · rel_k for each (query pos, key pos)
+            scores = scores + jnp.einsum("bhqd,qkd->bhqk", q, rel_k)
+
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], -1e18, scores)
+
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, dim)
+        return nn.Dense(dim, name="final_linear")(ctx)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """LN → Linear(d_ff) → ReLU → dropout → Linear(d_model) → dropout → +x."""
+
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        inter = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(x)
+        inter = nn.relu(nn.Dense(self.d_ff, name="w_1")(inter))
+        inter = nn.Dropout(self.dropout_rate)(inter, deterministic=deterministic)
+        out = nn.Dense(self.d_model, name="w_2")(inter)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out + x
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm self-attention block + FFN (transformer.py:61-100)."""
+
+    d_model: int
+    heads: int
+    d_ff: int
+    dropout_rate: float
+    max_relative_positions: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None, deterministic: bool = True) -> jnp.ndarray:
+        x_norm = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(x)
+        ctx = MultiHeadedAttention(
+            self.heads, self.d_model, self.dropout_rate,
+            self.max_relative_positions, name="self_attn",
+        )(x_norm, x_norm, x_norm, mask=mask, deterministic=deterministic)
+        out = nn.Dropout(self.dropout_rate)(ctx, deterministic=deterministic) + x
+        return PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate, name="feed_forward")(
+            out, deterministic=deterministic
+        )
+
+
+def causal_mask(length: int) -> jnp.ndarray:
+    """(1, L, L) bool mask, True above the diagonal (future positions)."""
+    return jnp.triu(jnp.ones((1, length, length), dtype=bool), k=1)
+
+
+def padding_mask(tokens: jnp.ndarray, padding_idx: int) -> jnp.ndarray:
+    """(B, L, L) bool: key position is padding (conv_transformer_lm 64-69)."""
+    pad = tokens == padding_idx  # (B, L)
+    return jnp.broadcast_to(pad[:, None, :], (tokens.shape[0], tokens.shape[1], tokens.shape[1]))
