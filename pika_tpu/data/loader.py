@@ -1,0 +1,185 @@
+"""On-the-fly augmentation loader — host side.
+
+The TPU-first redesign of loader/otf_utt_loader.py: worker threads read raw
+PCM from mrk/seq archives and labels from text arks, apply *shape-changing*
+augmentation (speed perturb) and gain normalization on host, then emit
+fixed-shape padded batches of **raw waveforms**.  Everything downstream —
+dither, fbank, splice, stride, CMVN, SpecAugment — runs fused on device
+inside the jitted train step (pika_tpu/train/step.py), so the host does a
+tiny fraction of the reference's per-utterance work (no Kaldi fbank on CPU).
+
+Shape discipline: waveform/label lengths are padded up to a small ladder of
+bucket sizes so the number of distinct compiled programs is bounded
+(SURVEY.md §7 "variable-length audio without retracing").
+
+Batch dict fields: wavs (B, S) float32 in int16 scale, wav_lens (B,),
+labels (B, U) int32, label_lens (B,), uttids (list).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pika_tpu.data import segment as seg
+from pika_tpu.data.archive import MrkSeqReader
+from pika_tpu.data.scp import iter_int_vectors, read_data_lst
+
+
+@dataclasses.dataclass(frozen=True)
+class OtfLoaderConfig:
+    batch_size: int = 8
+    sample_rate: int = 16000
+    frame_length: int = 400          # fbank frame geometry, for length math
+    frame_shift: int = 160
+    stride: int = 1                  # loader-side frame subsampling factor
+    max_len: int = 6000              # max frames allowed (reference --max_len)
+    tu_limit: int = 15000            # T*U/3 cap (reference --TU_limit)
+    speed_rates: Sequence[float] = (0.9, 1.0, 1.1)
+    gain_range: Tuple[float, float] = (55.0, 10.0)  # negative dB targets
+    snr_range: Optional[Tuple[float, float]] = None
+    num_workers: int = 2
+    queue_size: int = 8
+    reverse_labels: bool = False
+    sos: int = -1
+    eos: int = -1
+    pad_label: int = 0
+    seed: int = 777
+    # bucket ladders (samples / labels); batches pad to the smallest fit
+    wav_buckets: Sequence[int] = (16000 * 4, 16000 * 8, 16000 * 12, 16000 * 18)
+    label_buckets: Sequence[int] = (16, 32, 64, 128)
+    augment: bool = True
+
+
+def _n_frames(samples: int, cfg: OtfLoaderConfig) -> int:
+    return max(0, 1 + (samples - cfg.frame_length) // cfg.frame_shift)
+
+
+def _bucket(value: int, ladder: Sequence[int]) -> Optional[int]:
+    for b in ladder:
+        if value <= b:
+            return b
+    return None
+
+
+def _augment(pcm: np.ndarray, cfg: OtfLoaderConfig, rng: np.random.Generator,
+             noise: Optional[List[np.ndarray]] = None) -> np.ndarray:
+    """Speed + gain (+ optional noise) perturbation, returning int16-scale
+    float32 — the exact chain of otf_utt_generator
+    (loader/otf_utt_loader.py:223-234)."""
+    x = seg.to_float32(pcm)
+    if cfg.augment:
+        rate = cfg.speed_rates[int(rng.integers(0, len(cfg.speed_rates)))]
+        x = seg.change_speed(x, rate)
+        gain_lo, gain_hi = -cfg.gain_range[0], -cfg.gain_range[1]
+        x = seg.normalize(x, float(rng.uniform(gain_lo, gain_hi)))
+        if cfg.snr_range is not None and noise:
+            snr = float(rng.uniform(*cfg.snr_range))
+            n = noise[int(rng.integers(0, len(noise)))]
+            if n.shape[0] >= x.shape[0]:
+                import random as _random
+
+                x = seg.add_noise(x, cfg.sample_rate, n, snr, rng=_random.Random(int(rng.integers(1 << 30))))
+    # round-trip through int16 like the reference feeding Kaldi fbank
+    return seg.from_float32(x, "int16").astype(np.float32)
+
+
+def _utt_generator(triplets, cfg: OtfLoaderConfig, rng: np.random.Generator,
+                   noise=None) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
+    for mrk_fn, seq_fn, ali_rspec in triplets:
+        labels = dict(iter_int_vectors(ali_rspec))
+        with MrkSeqReader(mrk_fn, seq_fn) as reader:
+            for uttid, pcm in reader:
+                if uttid not in labels:
+                    raise ValueError(f"utt {uttid} missing from labels {ali_rspec}")
+                ali = labels[uttid]
+                if cfg.reverse_labels:
+                    ali = ali[::-1]
+                if cfg.sos >= 0:
+                    ali = np.concatenate(([cfg.sos], ali)).astype(np.int32)
+                if cfg.eos >= 0:
+                    ali = np.concatenate((ali, [cfg.eos])).astype(np.int32)
+                wav = _augment(pcm, cfg, rng, noise)
+                yield uttid, wav, ali
+
+
+def _batch_generator(triplets, cfg: OtfLoaderConfig, rng, noise=None):
+    buf: List[Tuple[str, np.ndarray, np.ndarray]] = []
+    count = 0
+
+    def flush(items):
+        if not items:
+            return None
+        max_s = max(len(w) for _, w, _ in items)
+        max_u = max(len(a) for _, _, a in items)
+        sb = _bucket(max_s, cfg.wav_buckets) or max_s
+        ub = _bucket(max_u, cfg.label_buckets) or max_u
+        b = len(items)
+        wavs = np.zeros((b, sb), np.float32)
+        wav_lens = np.zeros(b, np.int32)
+        labels = np.full((b, ub), cfg.pad_label, np.int32)
+        label_lens = np.zeros(b, np.int32)
+        uttids = []
+        for i, (uttid, w, a) in enumerate(items):
+            wavs[i, : len(w)] = w
+            wav_lens[i] = len(w)
+            labels[i, : len(a)] = a
+            label_lens[i] = len(a)
+            uttids.append(uttid)
+        return {
+            "wavs": wavs, "wav_lens": wav_lens,
+            "labels": labels, "label_lens": label_lens, "uttids": uttids,
+        }
+
+    for uttid, wav, ali in _utt_generator(triplets, cfg, rng, noise):
+        count += 1
+        frames = _n_frames(len(wav), cfg)
+        utt_len = -(-frames // cfg.stride)
+        frames_ok = 0 < utt_len and frames <= cfg.max_len
+        tu_ok = len(ali) * utt_len // 3 <= cfg.tu_limit
+        fits = _bucket(len(wav), cfg.wav_buckets) is not None and _bucket(len(ali), cfg.label_buckets) is not None
+        if frames_ok and tu_ok and fits and len(ali) > 0:
+            buf.append((uttid, wav, ali))
+        if count % cfg.batch_size == 0:
+            out = flush(buf)
+            buf = []
+            if out is not None:
+                yield out
+    out = flush(buf)
+    if out is not None:
+        yield out
+
+
+def dataloader(data_lst: str, cfg: OtfLoaderConfig, noise=None) -> Iterator[dict]:
+    """Threaded batch stream over a data .lst of mrk/seq/label triplets,
+    mirroring the reference's worker-thread + bounded-queue structure
+    (loader/otf_utt_loader.py:139-163)."""
+    triplets = read_data_lst(data_lst)
+    n_workers = max(1, min(cfg.num_workers, len(triplets)))
+    shards = [triplets[i::n_workers] for i in range(n_workers)]
+    q: "queue.Queue" = queue.Queue(cfg.queue_size)
+
+    def worker(idx: int):
+        rng = np.random.default_rng(cfg.seed + idx)
+        try:
+            for batch in _batch_generator(shards[idx], cfg, rng, noise):
+                q.put(batch)
+        finally:
+            q.put(None)
+
+    threads = [threading.Thread(target=worker, args=(i,), daemon=True) for i in range(n_workers)]
+    for t in threads:
+        t.start()
+    done = 0
+    while done < n_workers:
+        item = q.get()
+        if item is None:
+            done += 1
+            continue
+        yield item
+    for t in threads:
+        t.join()

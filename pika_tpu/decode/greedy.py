@@ -1,0 +1,114 @@
+"""Batched greedy RNN-T decoding, fully jitted.
+
+Time-synchronous greedy search: at each step, run the joint on the current
+(encoder frame, prediction-net state) pair; emit the argmax; advance the
+encoder frame on blank, advance the prediction net on non-blank.  The whole
+search is one ``lax.while_loop`` over fixed-shape batch state — no Python
+per-step loop (contrast decoder/transducer_decoder.py:123-183, which steps
+Python over GPU ops).
+
+Used for the tiny-model parity check (BASELINE.json config 2) and as the
+fast path when beam_size == 1.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pika_tpu.models.transducer import Transducer
+
+
+def greedy_decode(
+    model: Transducer,
+    variables,
+    enc_out: jnp.ndarray,
+    enc_lens: jnp.ndarray,
+    max_symbols: int = 200,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode a batch given encoder output.
+
+    Returns (hyps (B, max_symbols) int32 padded with -1, hyp_lens (B,)).
+    Requires an RNN (LSTM) prediction network.
+    """
+    if model.config.decoder_type != "rnn":
+        raise NotImplementedError("greedy_decode requires an RNN prediction net")
+    b, t_max, _ = enc_out.shape
+    layers = model.config.dec_layers
+    hid = model.config.hid_dim
+
+    def predict_step(tok, state):
+        return model.apply(variables, tok, state, method=Transducer.predict_step)
+
+    def joint_step(enc_hid, dec_hid):
+        return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
+
+    # init: prediction net consumed SOS (= blank 0), like blk_sos init
+    # (decoder/transducer_decoder.py:103,116-121)
+    zero_state = (jnp.zeros((layers, b, hid)), jnp.zeros((layers, b, hid)))
+    dec_hid0, state0 = predict_step(jnp.zeros((b,), jnp.int32), zero_state)
+
+    max_steps = t_max + max_symbols
+
+    def cond(carry):
+        t_idx, done, *_ = carry
+        return ~jnp.all(done)
+
+    def body(carry):
+        t_idx, done, dec_hid, state, hyps, hyp_len = carry
+        enc_hid = enc_out[jnp.arange(b), jnp.clip(t_idx, 0, t_max - 1)]
+        logits = joint_step(enc_hid, dec_hid)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        full = hyp_len >= max_symbols
+        is_blank = (tok == 0) | done | full
+        # advance time on blank
+        t_idx = jnp.where(is_blank, t_idx + 1, t_idx)
+        done = done | (t_idx >= enc_lens)
+        # emit on non-blank
+        emit = ~is_blank
+        pos = jnp.clip(hyp_len, 0, max_symbols - 1)
+        hyps = jnp.where(
+            emit[:, None] & (jnp.arange(max_symbols)[None, :] == pos[:, None]),
+            tok[:, None], hyps,
+        )
+        hyp_len = jnp.where(emit, hyp_len + 1, hyp_len)
+        # advance prediction net only for emitting rows
+        new_dec_hid, (new_h, new_c) = predict_step(tok, state)
+        keep = emit[:, None]
+        dec_hid = jnp.where(keep, new_dec_hid, dec_hid)
+        state = (
+            jnp.where(keep[None, :, :], new_h, state[0]),
+            jnp.where(keep[None, :, :], new_c, state[1]),
+        )
+        return (t_idx, done, dec_hid, state, hyps, hyp_len)
+
+    init = (
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool) | (enc_lens <= 0),
+        dec_hid0,
+        state0,
+        jnp.full((b, max_symbols), -1, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    # bound the loop: each iteration advances t or emits; cap at max_steps
+    def bounded_cond(carry_i):
+        carry, i = carry_i
+        return cond(carry) & (i < max_steps)
+
+    def bounded_body(carry_i):
+        carry, i = carry_i
+        return body(carry), i + 1
+
+    (final, _) = jax.lax.while_loop(bounded_cond, bounded_body, (init, 0))
+    _, _, _, _, hyps, hyp_len = final
+    return hyps, hyp_len
+
+
+def greedy_decode_waveforms(model, variables, featurizer, wavs, wav_lens, max_symbols: int = 200):
+    """Wav → features → encoder → greedy decode, one jittable function."""
+    feats, feat_lens = featurizer(None, wavs, wav_lens, False)
+    enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)
+    enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
+    return greedy_decode(model, variables, enc, enc_lens, max_symbols)

@@ -1,0 +1,246 @@
+"""BMUF — block model-update filtering — as functional SPMD programs.
+
+Re-implements the reference's three distributed strategies (trainer/bmuf.py)
+in symmetric-SPMD form: instead of a master rank reducing deltas and
+broadcasting parameters over NCCL, every device runs ``sync_period`` local
+optimizer steps inside a ``shard_map`` (no collectives), then one
+``pmean``/``psum`` over the ICI exchanges the block delta and every device
+applies the identical block update.  One all-reduce per sync period.
+
+Strategies:
+  * ``bmuf``       — Nesterov block momentum (BmufTrainer, bmuf.py:38-109):
+        delta      = mean_w(global - local_w)
+        delta_prev = bm * delta_prev + block_lr * (1 - bm) * delta
+        global    -= (1 + bm) * delta_prev
+  * ``blockadam``  — delta (summed, not averaged — bmuf.py:163 keeps the
+        reduce-sum) fed as the gradient to a replicated Adam
+        (BlockAdamTrainer, bmuf.py:112-188); equals sync Adam when
+        sync_period == 1.
+  * ``bmufadam``   — BMUF block update plus cross-worker reconciliation of
+        Adam moments with beta^tau / beta^rho corrections and fractional
+        step adjustment (BmufAdamTrainer, bmuf.py:191-333; Chen et al. 2020).
+
+NaN health check (bmuf.py:89-90): any non-finite delta yields
+``ok == False`` and the update is skipped — callers stop training, like the
+reference's STOP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+@dataclasses.dataclass(frozen=True)
+class BMUFConfig:
+    variant: str = "bmuf"          # 'bmuf' | 'blockadam' | 'bmufadam'
+    block_momentum: float = 0.9
+    block_lr: float = 1.0
+    sync_period: int = 5
+    adam_betas: tuple = (0.9, 0.999)
+    adam_eps: float = 1e-8
+
+
+class BMUFState(struct.PyTreeNode):
+    params: Any                      # global parameters (replicated)
+    delta_prev: Any = None           # bmuf / bmufadam
+    adam_mu: Any = None              # blockadam master Adam m / bmufadam exp_avg
+    adam_nu: Any = None              # blockadam master Adam v / bmufadam exp_avg_sq
+    adam_count: jnp.ndarray = None   # float count (fractional for bmufadam)
+    rho: jnp.ndarray = None          # bmufadam correction accumulator
+
+
+def bmuf_init(params, cfg: BMUFConfig) -> BMUFState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    if cfg.variant == "bmuf":
+        return BMUFState(params=params, delta_prev=zeros)
+    if cfg.variant == "blockadam":
+        return BMUFState(
+            params=params, adam_mu=zeros, adam_nu=jax.tree.map(jnp.zeros_like, params),
+            adam_count=jnp.zeros((), jnp.float32),
+        )
+    if cfg.variant == "bmufadam":
+        return BMUFState(
+            params=params, delta_prev=zeros,
+            adam_mu=zeros, adam_nu=jax.tree.map(jnp.zeros_like, params),
+            adam_count=jnp.zeros((), jnp.float32),
+            rho=jnp.zeros((), jnp.float32),
+        )
+    raise ValueError(f"unknown BMUF variant {cfg.variant}")
+
+
+def _tree_isfinite(tree) -> jnp.ndarray:
+    leaves = jax.tree.map(lambda x: jnp.all(jnp.isfinite(x)), tree)
+    return jax.tree_util.tree_reduce(jnp.logical_and, leaves, jnp.asarray(True))
+
+
+def _block_update(state: BMUFState, delta_mean, cfg: BMUFConfig) -> BMUFState:
+    bm, blr = cfg.block_momentum, cfg.block_lr
+    if cfg.variant == "bmuf":
+        delta_prev = jax.tree.map(
+            lambda dp, d: bm * dp + blr * (1.0 - bm) * d, state.delta_prev, delta_mean
+        )
+        params = jax.tree.map(lambda p, dp: p - (1.0 + bm) * dp, state.params, delta_prev)
+        return state.replace(params=params, delta_prev=delta_prev)
+
+    betas, eps = cfg.adam_betas, cfg.adam_eps
+    if cfg.variant == "blockadam":
+        count = state.adam_count + 1.0
+        mu = jax.tree.map(lambda m, g: betas[0] * m + (1 - betas[0]) * g, state.adam_mu, delta_mean)
+        nu = jax.tree.map(lambda v, g: betas[1] * v + (1 - betas[1]) * g * g, state.adam_nu, delta_mean)
+        bc1 = 1.0 - betas[0] ** count
+        bc2 = 1.0 - betas[1] ** count
+        params = jax.tree.map(
+            lambda p, m, v: p - blr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+            state.params, mu, nu,
+        )
+        return state.replace(params=params, adam_mu=mu, adam_nu=nu, adam_count=count)
+
+    raise ValueError(cfg.variant)
+
+
+def _bmufadam_update(state: BMUFState, delta_mean, mu_mean, nu_mean, cfg: BMUFConfig) -> BMUFState:
+    """Block update + moment reconciliation (bmuf.py:276-321)."""
+    bm, blr = cfg.block_momentum, cfg.block_lr
+    b1, b2 = cfg.adam_betas
+    rho = bm * state.rho + cfg.sync_period
+    delta_prev = jax.tree.map(
+        lambda dp, d: bm * dp + blr * (1.0 - bm) * d, state.delta_prev, delta_mean
+    )
+    params = jax.tree.map(lambda p, dp: p - (1.0 + bm) * dp, state.params, delta_prev)
+    b1_tau, b2_tau = b1 ** cfg.sync_period, b2 ** cfg.sync_period
+    b1_rho, b2_rho = b1 ** (rho * bm), b2 ** (rho * bm)
+    mu = jax.tree.map(
+        lambda prev, m: (b1_tau * (b1_rho - 1.0) * prev + (1.0 - b1_tau * b1_rho) * m) / (1.0 - b1_tau),
+        state.adam_mu, mu_mean,
+    )
+    nu = jax.tree.map(
+        lambda prev, v: (b2_tau * (b2_rho - 1.0) * prev + (1.0 - b2_tau * b2_rho) * v) / (1.0 - b2_tau),
+        state.adam_nu, nu_mean,
+    )
+    count = state.adam_count + cfg.sync_period + rho * bm
+    return state.replace(
+        params=params, delta_prev=delta_prev, adam_mu=mu, adam_nu=nu,
+        adam_count=count, rho=rho,
+    )
+
+
+def scale_by_adam_float(b1: float, b2: float, eps: float):
+    """Adam with a float step count (supports BMUF-Adam's fractional step
+    adjustment) whose moments can be seeded from reconciled values."""
+
+    class AdamState(NamedTuple):
+        count: jnp.ndarray
+        mu: Any
+        nu: Any
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros((), jnp.float32), zeros, jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        count = state.count + 1.0
+        bc1 = 1.0 - b1 ** count
+        bc2 = 1.0 - b2 ** count
+        out = jax.tree.map(lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu)
+        return out, AdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_bmuf_round(
+    local_step_fn: Callable,
+    local_opt_init: Callable,
+    cfg: BMUFConfig,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Build the jitted BMUF round: ``sync_period`` local steps + one sync.
+
+    ``local_step_fn(params, opt_state, local_extra, batch, key) ->
+    (params, opt_state, local_extra, metrics)`` must use NO collectives.
+    ``local_opt_init(params)`` creates a fresh local optimizer state each
+    round (the reference re-creates SGD per sync period,
+    trainer/train_transducer_bmuf_otfaug.py:121-123).
+
+    ``batches`` passed to the returned function have leading axes
+    [sync_period, global_batch, ...]; the batch axis is sharded over the
+    mesh.  Returns (new_bmuf_state, local_extra, ok_flag, metrics).
+    """
+
+    state_spec = P()
+    batch_spec = P(None, axis)
+
+    def round_fn(bmuf_state: BMUFState, local_extra, batches, key):
+        def device_fn(bmuf_state, local_extra, batches, key):
+            my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            params0 = bmuf_state.params
+            opt_state = local_opt_init(params0)
+
+            def one(carry, batch):
+                params, opt_state, extra, k = carry
+                k, sub = jax.random.split(k)
+                params, opt_state, extra, metrics = local_step_fn(
+                    params, opt_state, extra, batch, sub
+                )
+                return (params, opt_state, extra, k), metrics
+
+            (params, opt_state, local_extra2, _), metrics = jax.lax.scan(
+                one, (params0, opt_state, local_extra, my_key), batches
+            )
+
+            delta = jax.tree.map(lambda g, l: g - l, params0, params)
+            if cfg.variant == "blockadam":
+                delta_red = jax.tree.map(partial(jax.lax.psum, axis_name=axis), delta)
+            else:
+                delta_red = jax.tree.map(partial(jax.lax.pmean, axis_name=axis), delta)
+            ok = _tree_isfinite(delta_red)
+
+            if cfg.variant == "bmufadam":
+                mu_mean = jax.tree.map(partial(jax.lax.pmean, axis_name=axis), opt_state_mu(opt_state))
+                nu_mean = jax.tree.map(partial(jax.lax.pmean, axis_name=axis), opt_state_nu(opt_state))
+                new_state = _bmufadam_update(bmuf_state, delta_red, mu_mean, nu_mean, cfg)
+            else:
+                new_state = _block_update(bmuf_state, delta_red, cfg)
+            # skip the update entirely on NaN (reference STOPs training)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_state, bmuf_state
+            )
+            metrics = jax.tree.map(partial(jax.lax.pmean, axis_name=axis), metrics)
+            return new_state, local_extra2, ok, metrics
+
+        return shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(state_spec, state_spec, batch_spec, state_spec),
+            out_specs=(state_spec, state_spec, state_spec, state_spec),
+            check_vma=False,
+        )(bmuf_state, local_extra, batches, key)
+
+    return jax.jit(round_fn)
+
+
+def opt_state_mu(opt_state):
+    """Extract Adam first moments from an optax (chained) optimizer state."""
+    for s in jax.tree_util.tree_leaves(opt_state, is_leaf=lambda x: hasattr(x, "mu")):
+        if hasattr(s, "mu"):
+            return s.mu
+    raise ValueError("optimizer state has no Adam moments")
+
+
+def opt_state_nu(opt_state):
+    for s in jax.tree_util.tree_leaves(opt_state, is_leaf=lambda x: hasattr(x, "nu")):
+        if hasattr(s, "nu"):
+            return s.nu
+    raise ValueError("optimizer state has no Adam moments")

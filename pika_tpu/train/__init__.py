@@ -1,0 +1,12 @@
+"""Training: fused train/eval steps, LR schedules, checkpointing, CLIs."""
+
+from pika_tpu.train.lr import exp_interp_schedule, clip_by_inf_norm, make_optimizer
+from pika_tpu.train.step import (
+    TrainState,
+    FeaturizerConfig,
+    make_featurizer,
+    make_train_step,
+    make_eval_step,
+    transducer_loss,
+)
+from pika_tpu.train.checkpoint import save_checkpoint, restore_checkpoint

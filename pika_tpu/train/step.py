@@ -1,0 +1,182 @@
+"""Fused train/eval steps: waveforms → features → model → loss in one jit.
+
+The reference splits this across loader threads (Kaldi fbank on host),
+a .cuda() transfer, GPU-side CMVN/SpecAugment and model forward
+(trainer/train_transducer_bmuf_otfaug.py:71-110).  Here the entire chain
+from padded raw waveforms to the transducer loss is one XLA program: the
+loader only reads/augments/pads PCM on host; dither, fbank, splice,
+stride, CMVN, SpecAugment, encoder/decoder/joint and the fused RNN-T loss
+all compile together — HBM traffic is minimized and there is exactly one
+host→device transfer per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pika_tpu.features.fbank import FbankConfig, make_fbank_fn
+from pika_tpu.features.pipeline import (
+    apply_cmvn,
+    model_output_len,
+    spec_augment,
+    splice,
+    strided_len,
+    stride_subsample,
+)
+from pika_tpu.models.transducer import Transducer
+from pika_tpu.ops.rnnt_loss import rnnt_loss_fused
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+
+
+@dataclasses.dataclass(frozen=True)
+class FeaturizerConfig:
+    fbank: FbankConfig
+    max_samples: int
+    lctx: int = 0
+    rctx: int = 0
+    stride: int = 1
+    cmn: bool = False
+    spec_augment: bool = False
+    max_freq_span: int = 15
+    max_time_span: int = 35
+
+
+def make_featurizer(cfg: FeaturizerConfig, cmvn_offset=None, cmvn_scale=None):
+    """Build ``featurize(key, wavs, wav_lens, train) -> (feats, feat_lens)``.
+
+    Input waveforms are float32 in int16 scale, padded to ``max_samples``.
+    Output features are spliced/strided/normalized, ready for the encoder.
+    """
+    fbank = make_fbank_fn(cfg.fbank, cfg.max_samples)
+
+    def featurize(key, wavs, wav_lens, train: bool = True):
+        kd, ks = (None, None) if key is None else jax.random.split(key)
+        feats, frame_lens = fbank(wavs, wav_lens, key=kd if train else None)
+        feats = splice(feats, cfg.lctx, cfg.rctx, frame_lens=frame_lens)
+        feats = stride_subsample(feats, cfg.stride)
+        feat_lens = strided_len(frame_lens, cfg.stride)
+        if cmvn_offset is not None:
+            feats = apply_cmvn(feats, cmvn_offset, cmvn_scale, cmn=cfg.cmn)
+        if cfg.spec_augment and train and key is not None:
+            feats = spec_augment(ks, feats, cfg.max_freq_span, cfg.max_time_span)
+        return feats, feat_lens
+
+    return featurize
+
+
+def transducer_loss(
+    model: Transducer,
+    params,
+    batch_stats,
+    feats,
+    feat_lens,
+    labels,
+    label_lens,
+    train: bool,
+    dropout_key=None,
+    loss_chunk: int = 32,
+    loss_backend: str = "xla",
+):
+    """Fused-loss forward; returns (loss_sum, new_batch_stats)."""
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (batch_stats is not None and train) else False
+    rngs = {"dropout": dropout_key} if dropout_key is not None else None
+
+    enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
+
+    def fwd(mdl):
+        enc = mdl.encode(feats, feat_lens, train=train)
+        dec = mdl.predict(labels, label_lens, train=train)
+        ax, gx, ay, gy = mdl.joint_factors(enc, dec)
+        w2, b2 = mdl.joint_params()
+        return ax, gx, ay, gy, w2, b2
+
+    out = model.apply(variables, method=fwd, mutable=mutable, rngs=rngs)
+    if mutable:
+        (ax, gx, ay, gy, w2, b2), new_vars = out
+        new_stats = new_vars.get("batch_stats", batch_stats)
+    else:
+        ax, gx, ay, gy, w2, b2 = out
+        new_stats = batch_stats
+    losses = rnnt_loss_fused(
+        ax, gx, ay, gy, w2, b2, labels, enc_lens, label_lens, loss_chunk, loss_backend
+    )
+    return losses.sum(), new_stats
+
+
+def make_train_step(
+    model: Transducer,
+    tx: optax.GradientTransformation,
+    featurizer: Callable,
+    model_lctx: int = 0,
+    model_rctx: int = 0,
+    model_stride: int = 1,
+    loss_chunk: int = 32,
+    loss_backend: str = "xla",
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    batch = dict(wavs, wav_lens, labels, label_lens) — all padded static
+    shapes.  Returns (new_state, metrics) where metrics has the summed loss
+    and total label count (the reference's per-frame loss normalizer,
+    utils/logger.py).
+    """
+
+    def step_fn(state: TrainState, batch, key):
+        kf, kd = jax.random.split(key)
+        feats, feat_lens = featurizer(kf, batch["wavs"], batch["wav_lens"], True)
+        enc_in_lens = feat_lens
+
+        def loss_fn(params):
+            loss, new_stats = transducer_loss(
+                model, params, state.batch_stats,
+                feats, enc_in_lens, batch["labels"], batch["label_lens"],
+                train=True, dropout_key=kd,
+                loss_chunk=loss_chunk, loss_backend=loss_backend,
+            )
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+        metrics = {
+            "loss": loss,
+            "num_labels": batch["label_lens"].sum(),
+            "num_frames": feat_lens.sum(),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, featurizer, loss_chunk: int = 32, loss_backend: str = "xla"):
+    def step_fn(state: TrainState, batch):
+        feats, feat_lens = featurizer(None, batch["wavs"], batch["wav_lens"], False)
+        loss, _ = transducer_loss(
+            model, state.params, state.batch_stats,
+            feats, feat_lens, batch["labels"], batch["label_lens"],
+            train=False, loss_chunk=loss_chunk, loss_backend=loss_backend,
+        )
+        return {"loss": loss, "num_labels": batch["label_lens"].sum()}
+
+    return jax.jit(step_fn)
