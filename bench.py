@@ -62,7 +62,7 @@ def main():
         opt_state=tx.init(variables["params"]),
         batch_stats=variables.get("batch_stats"),
     )
-    train_step = make_train_step(model, tx, featurizer, loss_chunk=16, donate=True)
+    train_step = make_train_step(model, tx, featurizer, loss_chunk=16, donate=True)  # loss_backend auto -> pallas on TPU
 
     rng = np.random.default_rng(0)
     batch = {

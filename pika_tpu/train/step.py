@@ -88,9 +88,11 @@ def transducer_loss(
     train: bool,
     dropout_key=None,
     loss_chunk: int = 32,
-    loss_backend: str = "xla",
+    loss_backend: str = "auto",
 ):
     """Fused-loss forward; returns (loss_sum, new_batch_stats)."""
+    if loss_backend == "auto":
+        loss_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -127,7 +129,7 @@ def make_train_step(
     model_rctx: int = 0,
     model_stride: int = 1,
     loss_chunk: int = 32,
-    loss_backend: str = "xla",
+    loss_backend: str = "auto",
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -169,7 +171,7 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, featurizer, loss_chunk: int = 32, loss_backend: str = "xla"):
+def make_eval_step(model, featurizer, loss_chunk: int = 32, loss_backend: str = "auto"):
     def step_fn(state: TrainState, batch):
         feats, feat_lens = featurizer(None, batch["wavs"], batch["wav_lens"], False)
         loss, _ = transducer_loss(
