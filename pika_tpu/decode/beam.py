@@ -1,0 +1,286 @@
+"""Batched RNN-T beam search — one jit-compiled program.
+
+TPU-native redesign of decoder/transducer_decoder.py + beam_transducer.py:
+the reference steps Python over per-utterance beam objects; here the whole
+search is a single ``lax.while_loop`` over fixed-shape (B, K) arrays:
+
+  * per-beam time pointers advance on blank (transducer_decoder.py:129)
+  * the prediction net (LSTM) advances only for non-blank beams (:139-150)
+  * duplicate partial hypotheses are pruned via incremental rolling hashes
+    (replacing the string-keyed dict of beam_transducer.py:100-116)
+  * optional n-gram FST shallow fusion carries a fixed-capacity set of LM
+    states per beam with min-cost tracking (beam_transducer.py:136-159)
+  * finished hypotheses (blank at the last frame, beam_transducer.py:161-181)
+    move into a separate top-N finished store — unlike the reference they
+    never occupy live beam slots, which can only improve search quality
+  * softmax temperature ``sm_scale`` (transducer_decoder.py:177)
+
+Scores kept per beam are model-only; the LM bonus biases candidate
+selection each step and enters final scores via FST final weights —
+matching the reference's bookkeeping exactly (beam_transducer.py:119-134).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pika_tpu.decode.fst import fst_advance_sets, fst_final_scores, init_state_sets
+from pika_tpu.models.transducer import Transducer
+
+NEG = -1.0e20
+HASH_MULT = jnp.uint32(1000003)
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    beam_size: int = 8
+    n_best: int = 1
+    blank: int = 0
+    sm_scale: float = 1.0
+    max_symbols: int = 200
+    prune_dups: bool = True
+    lm_scale: float = 0.0
+    nonblk_reward: float = 0.0
+    max_fst_states: int = 4
+    fst_backoff_levels: int = 6
+
+
+class _BeamState(NamedTuple):
+    step: jnp.ndarray
+    scores: jnp.ndarray       # (B, K) model-only cumulative log-prob
+    lm_scores: jnp.ndarray    # (B, K)
+    t_idx: jnp.ndarray        # (B, K)
+    tokens: jnp.ndarray       # (B, K, Um)
+    lens: jnp.ndarray         # (B, K)
+    hashes: jnp.ndarray       # (B, K) uint32
+    dec_hid: jnp.ndarray      # (B, K, H)
+    dec_h: jnp.ndarray        # (L, B, K, H)
+    dec_c: jnp.ndarray        # (L, B, K, H)
+    fst_states: jnp.ndarray   # (B, K, S)
+    fst_costs: jnp.ndarray    # (B, K, S)
+    fin_scores: jnp.ndarray   # (B, N)
+    fin_tokens: jnp.ndarray   # (B, N, Um)
+    fin_lens: jnp.ndarray     # (B, N)
+
+
+def _gather_beams(x, idx):
+    """Gather along the beam axis: x (B, K, ...) by idx (B, K)."""
+    return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
+def beam_search(
+    model: Transducer,
+    variables,
+    enc_out: jnp.ndarray,
+    enc_lens: jnp.ndarray,
+    cfg: BeamConfig,
+    fst_tables: Optional[dict] = None,
+    fst_start: int = 0,
+):
+    """Decode a batch.  Returns dict(tokens (B, N, Um), lens (B, N),
+    scores (B, N)) sorted best-first; padding token is -1."""
+    if model.config.decoder_type != "rnn":
+        raise NotImplementedError("beam_search requires an RNN prediction net")
+    b, t_max, _ = enc_out.shape
+    k = cfg.beam_size
+    n = cfg.n_best
+    um = cfg.max_symbols
+    layers = model.config.dec_layers
+    hid = model.config.hid_dim
+    vocab = model.config.vocab_size
+    use_lm = fst_tables is not None
+
+    def predict_step(tok, state):
+        return model.apply(variables, tok, state, method=Transducer.predict_step)
+
+    def joint_step(enc_hid, dec_hid):
+        return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
+
+    # init: every beam consumed SOS(=blank); beam 0 live, others NEG
+    zero_state = (jnp.zeros((layers, b * k, hid)), jnp.zeros((layers, b * k, hid)))
+    dec_hid0, (h0, c0) = predict_step(jnp.zeros((b * k,), jnp.int32), zero_state)
+
+    if use_lm:
+        fst_states0 = jnp.full((b, k, cfg.max_fst_states), -1, jnp.int32)
+        fst_states0 = fst_states0.at[..., 0].set(fst_start)
+        fst_costs0 = jnp.full((b, k, cfg.max_fst_states), 1e30, jnp.float32)
+        fst_costs0 = fst_costs0.at[..., 0].set(0.0)
+    else:
+        fst_states0 = jnp.zeros((b, k, 1), jnp.int32)
+        fst_costs0 = jnp.zeros((b, k, 1), jnp.float32)
+
+    init = _BeamState(
+        step=jnp.zeros((), jnp.int32),
+        scores=jnp.full((b, k), NEG).at[:, 0].set(0.0),
+        lm_scores=jnp.zeros((b, k)),
+        t_idx=jnp.zeros((b, k), jnp.int32),
+        tokens=jnp.full((b, k, um), -1, jnp.int32),
+        lens=jnp.zeros((b, k), jnp.int32),
+        hashes=jnp.zeros((b, k), jnp.uint32),
+        dec_hid=dec_hid0.reshape(b, k, hid),
+        dec_h=h0.reshape(layers, b, k, hid),
+        dec_c=c0.reshape(layers, b, k, hid),
+        fst_states=fst_states0,
+        fst_costs=fst_costs0,
+        fin_scores=jnp.full((b, n), NEG),
+        fin_tokens=jnp.full((b, n, um), -1, jnp.int32),
+        fin_lens=jnp.zeros((b, n), jnp.int32),
+    )
+    max_steps = t_max + um
+
+    def cond(st: _BeamState):
+        live_best = jnp.max(st.scores, axis=1)
+        fin_worst = st.fin_scores[:, n - 1]
+        undecided = live_best > fin_worst
+        return (st.step < max_steps) & jnp.any(undecided)
+
+    def body(st: _BeamState):
+        # --- duplicate-prefix pruning (beam order is score-descending) ---
+        scores = st.scores
+        if cfg.prune_dups:
+            same = (st.hashes[:, None, :] == st.hashes[:, :, None]) & (
+                st.lens[:, None, :] == st.lens[:, :, None]
+            ) & (st.lens[:, :, None] > 0)
+            earlier = jnp.arange(k)[None, :] < jnp.arange(k)[:, None]
+            dup = jnp.any(same & earlier[None], axis=2)
+            scores = jnp.where(dup, NEG, scores)
+
+        # --- joint over current (enc frame, dec state) -------------------
+        enc_hid = jnp.take_along_axis(
+            enc_out, jnp.clip(st.t_idx, 0, t_max - 1)[..., None], axis=1
+        )  # (B, K, H)
+        logits = joint_step(enc_hid.reshape(b * k, hid), st.dec_hid.reshape(b * k, hid))
+        lp = jax.nn.log_softmax(cfg.sm_scale * logits, axis=-1).reshape(b, k, vocab)
+
+        sel_bias = cfg.lm_scale * st.lm_scores if use_lm else 0.0
+        cand = scores[..., None] + lp + (sel_bias[..., None] if use_lm else 0.0)
+
+        # full beams may only take blank (same cap semantics as greedy)
+        full = st.lens >= um
+        non_blank = jnp.arange(vocab)[None, None, :] != cfg.blank
+        cand = jnp.where(full[..., None] & non_blank, NEG, cand)
+
+        # --- finished extraction: blank at the last frame ----------------
+        at_last = st.t_idx >= (enc_lens[:, None] - 1)
+        fin_cand_score = scores + lp[..., cfg.blank]
+        if use_lm:
+            fin_lm = fst_final_scores(fst_tables, st.fst_states, st.fst_costs,
+                                      cfg.fst_backoff_levels)
+            fin_cand_score = fin_cand_score + cfg.lm_scale * fin_lm
+        finish_now = at_last & (scores > NEG / 2)
+        fin_cand_score = jnp.where(finish_now, fin_cand_score, NEG)
+        # merge into the top-N finished store
+        all_scores = jnp.concatenate([st.fin_scores, fin_cand_score], axis=1)
+        all_tokens = jnp.concatenate([st.fin_tokens, st.tokens], axis=1)
+        all_lens = jnp.concatenate([st.fin_lens, st.lens], axis=1)
+        top_fin, fin_idx = jax.lax.top_k(all_scores, n)
+        fin_tokens = jnp.take_along_axis(all_tokens, fin_idx[..., None], axis=1)
+        fin_lens = jnp.take_along_axis(all_lens, fin_idx, axis=1)
+
+        # finished beams cannot continue via blank past the last frame
+        cand = cand.at[..., cfg.blank].set(
+            jnp.where(at_last, NEG, cand[..., cfg.blank])
+        )
+
+        # --- top-k continuation ------------------------------------------
+        flat = cand.reshape(b, k * vocab)
+        top_val, top_idx = jax.lax.top_k(flat, k)
+        prev_k = top_idx // vocab
+        tok = (top_idx % vocab).astype(jnp.int32)
+
+        new_scores = top_val
+        lm_prev = _gather_beams(st.lm_scores, prev_k)
+        if use_lm:
+            new_scores = new_scores - cfg.lm_scale * lm_prev
+
+        tokens = _gather_beams(st.tokens, prev_k)
+        lens = _gather_beams(st.lens, prev_k)
+        hashes = _gather_beams(st.hashes, prev_k)
+        t_idx = _gather_beams(st.t_idx, prev_k)
+        dec_hid = _gather_beams(st.dec_hid, prev_k)
+        dec_h = jnp.take_along_axis(st.dec_h, prev_k[None, :, :, None], axis=2)
+        dec_c = jnp.take_along_axis(st.dec_c, prev_k[None, :, :, None], axis=2)
+        fst_states = _gather_beams(st.fst_states, prev_k)
+        fst_costs = _gather_beams(st.fst_costs, prev_k)
+
+        emit = tok != cfg.blank
+        # append emitted tokens
+        pos = jnp.clip(lens, 0, um - 1)
+        write = emit[..., None] & (jnp.arange(um)[None, None, :] == pos[..., None])
+        tokens = jnp.where(write, tok[..., None], tokens)
+        lens = jnp.where(emit, lens + 1, lens)
+        hashes = jnp.where(
+            emit, hashes * HASH_MULT + tok.astype(jnp.uint32) + 1, hashes
+        )
+        t_idx = jnp.where(emit, t_idx, t_idx + 1)
+
+        # prediction-net advance for emitting beams only
+        new_hid, (nh, nc) = predict_step(
+            tok.reshape(b * k),
+            (dec_h.reshape(layers, b * k, hid), dec_c.reshape(layers, b * k, hid)),
+        )
+        keep = emit.reshape(b * k)[:, None]
+        dec_hid = jnp.where(keep, new_hid, dec_hid.reshape(b * k, hid)).reshape(b, k, hid)
+        dec_h = jnp.where(keep[None], nh, dec_h.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
+        dec_c = jnp.where(keep[None], nc, dec_c.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
+
+        lm_scores = lm_prev
+        if use_lm:
+            adv_states, adv_costs, adv_lm = fst_advance_sets(
+                fst_tables, fst_states, fst_costs,
+                tok + 1,  # FST ilabels are shifted by one (beam_transducer.py:139)
+                cfg.fst_backoff_levels, cfg.nonblk_reward,
+            )
+            fst_states = jnp.where(emit[..., None], adv_states, fst_states)
+            fst_costs = jnp.where(emit[..., None], adv_costs, fst_costs)
+            lm_scores = jnp.where(emit, jnp.maximum(adv_lm, NEG), lm_prev)
+
+        return _BeamState(
+            step=st.step + 1,
+            scores=new_scores,
+            lm_scores=lm_scores,
+            t_idx=t_idx,
+            tokens=tokens,
+            lens=lens,
+            hashes=hashes,
+            dec_hid=dec_hid,
+            dec_h=dec_h,
+            dec_c=dec_c,
+            fst_states=fst_states,
+            fst_costs=fst_costs,
+            fin_scores=top_fin,
+            fin_tokens=fin_tokens,
+            fin_lens=fin_lens,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # backfill: if fewer than n finished, take live beams as-is
+    # (sort_finished minimum-fill, beam_transducer.py:196-207)
+    all_scores = jnp.concatenate([final.fin_scores, final.scores], axis=1)
+    all_tokens = jnp.concatenate([final.fin_tokens, final.tokens], axis=1)
+    all_lens = jnp.concatenate([final.fin_lens, final.lens], axis=1)
+    top, idx = jax.lax.top_k(all_scores, n)
+    return {
+        "tokens": jnp.take_along_axis(all_tokens, idx[..., None], axis=1),
+        "lens": jnp.take_along_axis(all_lens, idx, axis=1),
+        "scores": top,
+    }
+
+
+def beam_search_waveforms(model, variables, featurizer, wavs, wav_lens, cfg: BeamConfig,
+                          fst_tables=None, fst_start: int = 0):
+    """wav → features → encoder → beam search (decode_batch equivalent,
+    transducer_decoder.py:66).  Also returns encoder output for LAS
+    rescoring reuse (:99-100)."""
+    feats, feat_lens = featurizer(None, wavs, wav_lens, False)
+    enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)
+    enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
+    out = beam_search(model, variables, enc, enc_lens, cfg, fst_tables, fst_start)
+    out["enc_out"] = enc
+    out["enc_lens"] = enc_lens
+    return out

@@ -1,0 +1,405 @@
+"""n-gram FST shallow fusion — dense arc tables + on-device queries.
+
+Replaces PyKaldi/OpenFst (decoder/sorted_matcher.py, decode_transducer.py:82-86)
+with a two-part design:
+
+* **Host**: the LM automaton is compiled into dense CSR-style arrays —
+  per-state sorted arc slices (ilabel / weight / nextstate), a per-state
+  backoff arc, final weights, and a per-state disambig expansion table.
+  Sources: an ARPA n-gram LM (compiled directly into the standard backoff
+  automaton) or an AT&T text-format FST.
+
+* **Device**: ``fst_advance_sets`` / ``fst_final_scores`` run inside the
+  jitted beam search: binary search (``searchsorted``) over each state's
+  arc slice, following backoff chains for a bounded number of levels and
+  collecting a match at every level — exactly the reference semantics
+  (sorted_matcher.py:49-65 keeps collecting matches through backoffs, so
+  beams hold *sets* of context states with min-cost tracking,
+  beam_transducer.py:136-159).
+
+All arrays are static-shape; state sets are fixed-capacity (max_states)
+with +inf-cost padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = np.float32(1e30)
+LOG10 = math.log(10.0)
+
+
+@dataclasses.dataclass
+class FstTables:
+    """Dense LM automaton. Arc slices are ilabel-sorted per state."""
+
+    arc_start: np.ndarray      # (n_states+1,) int32 CSR offsets
+    arc_ilabel: np.ndarray     # (n_arcs,) int32
+    arc_weight: np.ndarray     # (n_arcs,) float32 (tropical: -ln p)
+    arc_next: np.ndarray       # (n_arcs,) int32
+    backoff_next: np.ndarray   # (n_states,) int32, -1 if none
+    backoff_weight: np.ndarray # (n_states,) float32
+    final_weight: np.ndarray   # (n_states,) float32, +INF if not final
+    start: int
+    # disambig expansion: (n_states, D) extra init states/costs, -1 padded
+    disambig_next: np.ndarray
+    disambig_weight: np.ndarray
+    max_backoff_levels: int = 6
+
+    @property
+    def n_states(self) -> int:
+        return len(self.backoff_next)
+
+    def device_arrays(self) -> dict:
+        return {
+            "arc_start": jnp.asarray(self.arc_start),
+            "arc_ilabel": jnp.asarray(self.arc_ilabel),
+            "arc_weight": jnp.asarray(self.arc_weight),
+            "arc_next": jnp.asarray(self.arc_next),
+            "backoff_next": jnp.asarray(self.backoff_next),
+            "backoff_weight": jnp.asarray(self.backoff_weight),
+            "final_weight": jnp.asarray(self.final_weight),
+            "disambig_next": jnp.asarray(self.disambig_next),
+            "disambig_weight": jnp.asarray(self.disambig_weight),
+        }
+
+
+def _build_tables(
+    n_states: int,
+    arcs: Dict[int, List[Tuple[int, float, int]]],
+    finals: Dict[int, float],
+    start: int,
+    backoff_id: int,
+    disambig_ids: Optional[List[int]] = None,
+    max_backoff_levels: int = 6,
+) -> FstTables:
+    disambig_ids = disambig_ids or []
+    arc_start = np.zeros(n_states + 1, np.int32)
+    ilabels, weights, nexts = [], [], []
+    backoff_next = np.full(n_states, -1, np.int32)
+    backoff_weight = np.zeros(n_states, np.float32)
+    d = max(1, len(disambig_ids))
+    dis_next = np.full((n_states, d), -1, np.int32)
+    dis_weight = np.full((n_states, d), INF, np.float32)
+    for s in range(n_states):
+        slist = sorted(arcs.get(s, []))
+        kept = []
+        for ilabel, w, ns in slist:
+            if ilabel == backoff_id:
+                backoff_next[s] = ns
+                backoff_weight[s] = w
+            elif ilabel in disambig_ids:
+                j = disambig_ids.index(ilabel)
+                dis_next[s, j] = ns
+                dis_weight[s, j] = w
+            else:
+                kept.append((ilabel, w, ns))
+        arc_start[s + 1] = arc_start[s] + len(kept)
+        for ilabel, w, ns in kept:
+            ilabels.append(ilabel)
+            weights.append(w)
+            nexts.append(ns)
+    final_weight = np.full(n_states, INF, np.float32)
+    for s, w in finals.items():
+        final_weight[s] = w
+    return FstTables(
+        arc_start=arc_start,
+        arc_ilabel=np.asarray(ilabels, np.int32),
+        arc_weight=np.asarray(weights, np.float32),
+        arc_next=np.asarray(nexts, np.int32),
+        backoff_next=backoff_next,
+        backoff_weight=backoff_weight,
+        final_weight=final_weight,
+        start=start,
+        disambig_next=dis_next,
+        disambig_weight=dis_weight,
+        max_backoff_levels=max_backoff_levels,
+    )
+
+
+def read_text_fst(
+    path: str,
+    backoff_id: int = 0,
+    disambig_ids: Optional[List[int]] = None,
+) -> FstTables:
+    """Read an AT&T text-format FST (``src dst ilabel olabel [w]`` /
+    ``state [w]`` final lines) into dense tables.  The first line's source
+    state is the start state (OpenFst convention)."""
+    arcs: Dict[int, List[Tuple[int, float, int]]] = {}
+    finals: Dict[int, float] = {}
+    start = None
+    max_state = 0
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) >= 4:
+                s, d_, il = int(parts[0]), int(parts[1]), int(parts[2])
+                w = float(parts[4]) if len(parts) > 4 else 0.0
+                arcs.setdefault(s, []).append((il, w, d_))
+                max_state = max(max_state, s, d_)
+                if start is None:
+                    start = s
+            else:
+                s = int(parts[0])
+                w = float(parts[1]) if len(parts) > 1 else 0.0
+                finals[s] = w
+                max_state = max(max_state, s)
+                if start is None:
+                    start = s
+    return _build_tables(max_state + 1, arcs, finals, start or 0,
+                         backoff_id, disambig_ids)
+
+
+def compile_arpa(
+    path: str,
+    symbol_to_id: Dict[str, int],
+    backoff_id: int = 0,
+) -> FstTables:
+    """Compile an ARPA n-gram LM into the standard backoff automaton.
+
+    States are n-gram contexts; each n-gram ``w1..wk`` adds an arc from
+    state(w1..wk-1) on symbol wk with weight ``-ln(10^log10p)``; backoff
+    arcs connect each context to its suffix with the backoff weight.
+    ``</s>`` probabilities become final weights.  Symbol ids follow the
+    decode-side convention ``ilabel = token_id + 1``
+    (beam_transducer.py:139), i.e. ``symbol_to_id`` maps LM words to the
+    already-shifted FST ilabels.
+    """
+    ngrams: Dict[int, List[Tuple[Tuple[str, ...], float, Optional[float]]]] = {}
+    order = 0
+    with open(path, "r", encoding="utf-8") as f:
+        section = None
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("\\") and "-grams:" in line:
+                section = int(line[1: line.index("-")])
+                order = max(order, section)
+                ngrams[section] = []
+                continue
+            if line.startswith("\\") or line.startswith("ngram") or line == "\\data\\":
+                if line == "\\end\\":
+                    break
+                continue
+            if section is None:
+                continue
+            parts = line.split()
+            logp = float(parts[0])
+            words = tuple(parts[1 : 1 + section])
+            bow = float(parts[1 + section]) if len(parts) > 1 + section else None
+            ngrams[section].append((words, logp, bow))
+
+    # context states
+    state_of: Dict[Tuple[str, ...], int] = {(): 0}
+
+    def get_state(ctx: Tuple[str, ...]) -> int:
+        if ctx not in state_of:
+            state_of[ctx] = len(state_of)
+        return state_of[ctx]
+
+    arcs: Dict[int, List[Tuple[int, float, int]]] = {}
+    finals: Dict[int, float] = {}
+    backoffs: Dict[int, Tuple[float, int]] = {}
+
+    for n in sorted(ngrams):
+        for words, logp, bow in ngrams[n]:
+            ctx, w = words[:-1], words[-1]
+            # histories must exist as states
+            src = get_state(ctx)
+            weight = -logp * LOG10
+            if w == "</s>":
+                finals[src] = min(finals.get(src, float(INF)), weight)
+                continue
+            if n < order and bow is not None or n < order:
+                dst = get_state(words if n < order else words[1:])
+            else:
+                dst = get_state(words[1:])  # highest order: drop oldest word
+            if w not in symbol_to_id:
+                continue
+            arcs.setdefault(src, []).append((symbol_to_id[w], weight, dst))
+            if bow is not None and n < order:
+                bo_dst = get_state(words[1:])
+                backoffs[get_state(words)] = (-bow * LOG10, bo_dst)
+
+    n_states = len(state_of)
+    for s, (w, dst) in backoffs.items():
+        arcs.setdefault(s, []).append((backoff_id, w, dst))
+    # every non-unigram context backs off somewhere; contexts created
+    # implicitly (no explicit bow) back off with weight 0 to their suffix
+    for ctx, s in state_of.items():
+        if ctx and s not in backoffs:
+            arcs.setdefault(s, []).append((backoff_id, 0.0, state_of.get(ctx[1:], 0)))
+
+    start = state_of.get(("<s>",), 0)
+    return _build_tables(n_states, arcs, finals, start, backoff_id)
+
+
+# ---------------------------------------------------------------------------
+# device-side queries
+# ---------------------------------------------------------------------------
+
+def _search_arc_fast(tables: dict, state, ilabel):
+    """searchsorted within the state's CSR slice using global positions."""
+    safe_state = jnp.maximum(state, 0)
+    start = tables["arc_start"][safe_state]
+    end = tables["arc_start"][safe_state + 1]
+    # binary search over [start, end) on the global sorted-within-slice array
+    def cond(carry):
+        lo, hi = carry
+        return lo < hi
+
+    def body(carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        go_right = tables["arc_ilabel"][mid] < ilabel
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, _ = jax.lax.while_loop(cond, body, (start, end))
+    found = (lo < end) & (tables["arc_ilabel"][jnp.minimum(lo, tables["arc_ilabel"].shape[0] - 1)] == ilabel) & (state >= 0)
+    pos = jnp.minimum(lo, tables["arc_ilabel"].shape[0] - 1)
+    return (
+        found,
+        jnp.where(found, tables["arc_weight"][pos], INF),
+        jnp.where(found, tables["arc_next"][pos], -1),
+    )
+
+
+def backoff_matches(tables: dict, state, ilabel, init_cost, levels: int):
+    """Collect (cost, nextstate) at every backoff level — the
+    get_scores_wodisambig walk.  Returns (costs (levels,), states (levels,))
+    with +INF/-1 padding."""
+
+    def level(carry, _):
+        cur_state, acc = carry
+        found, w, ns = _search_arc_fast(tables, cur_state, ilabel)
+        cost = jnp.where(found, acc + w, INF)
+        out_state = jnp.where(found, ns, -1)
+        bo_next = jnp.where(cur_state >= 0, tables["backoff_next"][jnp.maximum(cur_state, 0)], -1)
+        bo_w = jnp.where(cur_state >= 0, tables["backoff_weight"][jnp.maximum(cur_state, 0)], 0.0)
+        new_state = jnp.where(bo_next >= 0, bo_next, -1)
+        new_acc = acc + jnp.where(bo_next >= 0, bo_w, 0.0)
+        return (new_state, new_acc), (cost, out_state)
+
+    (_, _), (costs, states) = jax.lax.scan(
+        level, (state, jnp.asarray(init_cost, jnp.float32)), None, length=levels
+    )
+    return costs, states
+
+
+def expand_disambig(tables: dict, state):
+    """Initial expansion: [(0, state)] + disambig arcs (get_scores:67-82).
+    Returns (costs (D+1,), states (D+1,))."""
+    d = tables["disambig_next"].shape[1]
+    safe = jnp.maximum(state, 0)
+    dn = jnp.where(state >= 0, tables["disambig_next"][safe], -1)
+    dw = jnp.where(dn >= 0, tables["disambig_weight"][safe], INF)
+    costs = jnp.concatenate([jnp.where(state >= 0, 0.0, INF)[None], dw])
+    states = jnp.concatenate([jnp.where(state >= 0, state, -1)[None], dn])
+    return costs, states
+
+
+def fst_advance_sets(
+    tables: dict,
+    states: jnp.ndarray,   # (..., S) int32, -1 padded
+    costs: jnp.ndarray,    # (..., S) float32, INF padded
+    ilabel: jnp.ndarray,   # (...) int32
+    levels: int = 6,
+    nonblk_reward: float = 0.0,
+):
+    """Advance every beam's FST state set on an emitted label.
+
+    Returns (new_states, new_costs, lm_score) where lm_score = -min cost
+    (−INF-ish when the set dies).  Mirrors beam_transducer.py:136-159.
+    """
+    s_cap = states.shape[-1]
+    flat_states = states.reshape(-1, s_cap)
+    flat_costs = costs.reshape(-1, s_cap)
+    flat_label = ilabel.reshape(-1)
+
+    def per_beam(st_row, c_row, lab):
+        def per_state(s, c):
+            d_costs, d_states = expand_disambig(tables, s)
+            def per_init(ic, istate):
+                return backoff_matches(tables, istate, lab, ic, levels)
+            m_costs, m_states = jax.vmap(per_init)(d_costs, d_states)
+            return c + m_costs.reshape(-1), m_states.reshape(-1)
+
+        cand_costs, cand_states = jax.vmap(per_state)(st_row, c_row)
+        cand_costs = cand_costs.reshape(-1)
+        cand_states = cand_states.reshape(-1)
+        cand_costs = jnp.where(cand_states >= 0, cand_costs, INF)
+        # dedup: keep min cost per state id
+        order = jnp.argsort(cand_costs)
+        sc = cand_states[order]
+        cc = cand_costs[order]
+        m = sc.shape[0]
+        dup = (sc[None, :] == sc[:, None]) & (jnp.arange(m)[None, :] < jnp.arange(m)[:, None])
+        is_dup = jnp.any(dup & (sc[:, None] >= 0), axis=1)
+        cc = jnp.where(is_dup, INF, cc)
+        order2 = jnp.argsort(cc)
+        new_states = jnp.where(cc[order2][:s_cap] < INF, sc[order2][:s_cap], -1)
+        new_costs = jnp.where(cc[order2][:s_cap] < INF, cc[order2][:s_cap] - nonblk_reward, INF)
+        lm = jnp.where(jnp.any(new_states >= 0), -jnp.min(new_costs), -INF)
+        return new_states, new_costs, lm
+
+    ns, nc, lm = jax.vmap(per_beam)(flat_states, flat_costs, flat_label)
+    return (
+        ns.reshape(states.shape),
+        nc.reshape(costs.shape),
+        lm.reshape(ilabel.shape),
+    )
+
+
+def fst_final_scores(tables: dict, states: jnp.ndarray, costs: jnp.ndarray, levels: int = 6):
+    """Final LM score for each beam: -min over the state set of
+    (cost + final-weight reached through backoff), with disambig expansion
+    (sorted_matcher.py:84-111)."""
+    s_cap = states.shape[-1]
+    flat_states = states.reshape(-1, s_cap)
+    flat_costs = costs.reshape(-1, s_cap)
+
+    def chain_final(state, init_cost):
+        def level(carry, _):
+            cur, acc, best = carry
+            safe = jnp.maximum(cur, 0)
+            fw = jnp.where(cur >= 0, tables["final_weight"][safe], INF)
+            hit = fw < INF
+            best = jnp.minimum(best, jnp.where(hit, acc + fw, INF))
+            bo_next = jnp.where(cur >= 0, tables["backoff_next"][safe], -1)
+            bo_w = jnp.where(cur >= 0, tables["backoff_weight"][safe], 0.0)
+            nxt = jnp.where(hit, -1, bo_next)  # stop after first final hit
+            return (nxt, acc + bo_w, best), None
+
+        (_, _, best), _ = jax.lax.scan(
+            level, (state, jnp.asarray(init_cost, jnp.float32), INF), None, length=levels
+        )
+        return best
+
+    def per_beam(st_row, c_row):
+        def per_state(s, c):
+            d_costs, d_states = expand_disambig(tables, s)
+            finals = jax.vmap(chain_final)(d_states, c + d_costs)
+            return jnp.min(finals)
+
+        best = jnp.min(jax.vmap(per_state)(st_row, c_row))
+        return jnp.where(best < INF, -best, -INF)
+
+    return jax.vmap(per_beam)(flat_states, flat_costs).reshape(states.shape[:-1])
+
+
+def init_state_sets(tables: FstTables, shape, max_states: int):
+    """Fresh per-beam state sets: {start: 0.0} (beam_transducer.py:64-66)."""
+    states = np.full(shape + (max_states,), -1, np.int32)
+    costs = np.full(shape + (max_states,), INF, np.float32)
+    states[..., 0] = tables.start
+    costs[..., 0] = 0.0
+    return jnp.asarray(states), jnp.asarray(costs)

@@ -1,0 +1,147 @@
+"""Beam search tests: agreement with greedy, Viterbi-path optimality on
+brute-forced tiny lattices, and FST fusion steering."""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pika_tpu.decode.beam import BeamConfig, beam_search
+from pika_tpu.decode.greedy import greedy_decode
+from pika_tpu.decode.fst import read_text_fst, init_state_sets
+from pika_tpu.models import Transducer, TransducerConfig, init_transducer
+
+K = jax.random.PRNGKey(7)
+
+
+def _tiny_model(rng, vocab=4, hid=12):
+    cfg = TransducerConfig(
+        input_dim=6, vocab_size=vocab, hid_dim=hid,
+        enc_layers=1, dec_layers=1, embd_dim=8,
+    )
+    model, variables = init_transducer(K, cfg)
+    return model, variables, cfg
+
+
+def _enc(model, variables, rng, b=2, t=4):
+    x = jnp.asarray(rng.standard_normal((b, t, 6)).astype(np.float32))
+    lens = jnp.asarray([t] * b, jnp.int32)
+    enc = model.apply(variables, x, lens, method=Transducer.encode)
+    return enc, lens
+
+
+def _path_logprob(model, variables, enc_row, labels):
+    """Best (Viterbi) single-alignment log-prob of a label sequence through
+    the joint lattice, by exhaustive DP (max-plus)."""
+    t_max = enc_row.shape[0]
+    u_max = len(labels)
+    # dec outputs for prefix positions 0..u_max
+    y = jnp.asarray(np.asarray(labels + [0], np.int32))[None, :]
+    dec = model.apply(variables, y[:, :-1] if u_max else y[:, :0],
+                      method=Transducer.predict)
+    logits = model.apply(variables, enc_row[None], dec, method=Transducer.joint_logits)
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))[0]  # (T, U+1, V)
+    neg = -1e30
+    dp = np.full((t_max, u_max + 1), neg)
+    dp[0, 0] = 0.0
+    for t in range(t_max):
+        for u in range(u_max + 1):
+            if t > 0:
+                dp[t, u] = max(dp[t, u], dp[t - 1, u] + lp[t - 1, u, 0])
+            if u > 0:
+                dp[t, u] = max(dp[t, u], dp[t, u - 1] + lp[t, u - 1, labels[u - 1]])
+    return dp[t_max - 1, u_max] + lp[t_max - 1, u_max, 0]
+
+
+def test_beam1_matches_greedy(rng):
+    model, variables, cfg = _tiny_model(rng)
+    enc, lens = _enc(model, variables, rng, b=3, t=6)
+    g_hyps, g_lens = greedy_decode(model, variables, enc, lens, max_symbols=10)
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=1, n_best=1, max_symbols=10))
+    for i in range(3):
+        gl = int(g_lens[i])
+        bl = int(out["lens"][i, 0])
+        assert gl == bl
+        np.testing.assert_array_equal(
+            np.asarray(g_hyps[i, :gl]), np.asarray(out["tokens"][i, 0, :bl])
+        )
+
+
+def test_beam_finds_viterbi_best(rng):
+    """With a beam wide enough, the top hypothesis must be the label
+    sequence with the highest Viterbi path score among all sequences."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=16, n_best=4, max_symbols=4))
+    # brute force all label sequences of length 0..3 (vocab labels 1..2)
+    best_score, best_seq = -1e30, None
+    for length in range(0, 4):
+        for seq in itertools.product([1, 2], repeat=length):
+            s = _path_logprob(model, variables, enc[0], list(seq))
+            if s > best_score:
+                best_score, best_seq = s, list(seq)
+    got_len = int(out["lens"][0, 0])
+    got = list(np.asarray(out["tokens"][0, 0, :got_len]))
+    assert got == best_seq, f"beam {got} vs brute {best_seq}"
+    np.testing.assert_allclose(float(out["scores"][0, 0]), best_score, rtol=1e-4)
+
+
+def test_beam_nbest_sorted_and_distinct(rng):
+    model, variables, cfg = _tiny_model(rng)
+    enc, lens = _enc(model, variables, rng, b=2, t=5)
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=8, n_best=4, max_symbols=6))
+    scores = np.asarray(out["scores"])
+    assert (np.diff(scores, axis=1) <= 1e-5).all()  # descending
+    # top hypotheses are distinct per utterance
+    for i in range(2):
+        hyps = set()
+        for j in range(4):
+            l = int(out["lens"][i, j])
+            hyps.add(tuple(np.asarray(out["tokens"][i, j, :l])))
+        assert len(hyps) >= 3
+
+
+def test_beam_fst_fusion_steers(rng, tmp_path):
+    """A strong LM preferring label 2 must flip the top hypothesis."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    base = beam_search(model, variables, enc, lens,
+                       BeamConfig(beam_size=8, n_best=2, max_symbols=4))
+    # LM: single state 0, loves ilabel 3 (= token 2 + 1), hates ilabel 2
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text(
+        "0 0 3 3 0.0\n"   # token 2: free
+        "0 0 2 2 50.0\n"  # token 1: forbidden
+        "0 0.0\n"
+    )
+    tables = read_text_fst(str(lm))
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=8, n_best=2, max_symbols=4,
+                                 lm_scale=1.0, max_fst_states=4),
+                      fst_tables=tables.device_arrays(), fst_start=tables.start)
+    top_len = int(out["lens"][0, 0])
+    top = list(np.asarray(out["tokens"][0, 0, :top_len]))
+    assert 1 not in top, f"LM-forbidden token survived: {top}"
+
+
+def test_beam_respects_enc_lens(rng):
+    """Shorter encoder length must bound the number of blanks consumed."""
+    model, variables, cfg = _tiny_model(rng)
+    enc, _ = _enc(model, variables, rng, b=2, t=6)
+    lens = jnp.asarray([6, 2], jnp.int32)
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=4, n_best=1, max_symbols=6))
+    # decode of the length-2 element must match decoding its 2-frame prefix
+    out2 = beam_search(model, variables, enc[1:2, :2], jnp.asarray([2], jnp.int32),
+                       BeamConfig(beam_size=4, n_best=1, max_symbols=6))
+    l1, l2 = int(out["lens"][1, 0]), int(out2["lens"][0, 0])
+    assert l1 == l2
+    np.testing.assert_array_equal(
+        np.asarray(out["tokens"][1, 0, :l1]), np.asarray(out2["tokens"][0, 0, :l2])
+    )
+    np.testing.assert_allclose(float(out["scores"][1, 0]), float(out2["scores"][0, 0]), rtol=1e-5)

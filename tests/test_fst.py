@@ -1,0 +1,190 @@
+"""FST shallow-fusion tests: device queries vs a literal SortedMatcher
+transliteration, and ARPA compilation vs hand-computed LM scores."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pika_tpu.decode.fst import (
+    FstTables,
+    INF,
+    compile_arpa,
+    fst_advance_sets,
+    fst_final_scores,
+    init_state_sets,
+    read_text_fst,
+)
+
+
+class PySortedMatcher:
+    """Literal transliteration of decoder/sorted_matcher.py over FstTables."""
+
+    def __init__(self, t: FstTables):
+        self.t = t
+
+    def search(self, state, ilabel):
+        t = self.t
+        if state < 0:
+            return None
+        for i in range(t.arc_start[state], t.arc_start[state + 1]):
+            if t.arc_ilabel[i] == ilabel:
+                return float(t.arc_weight[i]), int(t.arc_next[i])
+        return None
+
+    def get_scores_wodisambig(self, state, ilabel, init=0.0):
+        scores, states = [], []
+        bf, cur = init, state
+        while True:
+            hit = self.search(cur, ilabel)
+            if hit:
+                scores.append(bf + hit[0])
+                states.append(hit[1])
+            if cur >= 0 and self.t.backoff_next[cur] >= 0:
+                bf += float(self.t.backoff_weight[cur])
+                cur = int(self.t.backoff_next[cur])
+            else:
+                return scores, states
+
+    def get_scores(self, state, ilabel):
+        inits = [(0.0, state)]
+        for j in range(self.t.disambig_next.shape[1]):
+            if self.t.disambig_next[state, j] >= 0:
+                inits.append((float(self.t.disambig_weight[state, j]), int(self.t.disambig_next[state, j])))
+        scores, states = [], []
+        for ic, istate in inits:
+            sc, st = self.get_scores_wodisambig(istate, ilabel, ic)
+            scores.extend(sc)
+            states.extend(st)
+        return scores, states
+
+    def final_score(self, state):
+        def chain(s, acc):
+            while True:
+                if self.t.final_weight[s] < INF:
+                    return acc + float(self.t.final_weight[s])
+                if self.t.backoff_next[s] >= 0:
+                    acc += float(self.t.backoff_weight[s])
+                    s = int(self.t.backoff_next[s])
+                else:
+                    return float("inf")
+
+        return chain(state, 0.0)
+
+
+@pytest.fixture
+def toy_fst(tmp_path):
+    """Bigram-ish LM automaton: states 0 (uni), 1 (ctx a), 2 (ctx b).
+    ilabels: 1=a, 2=b; backoff_id 0."""
+    path = tmp_path / "lm.txt.fst"
+    path.write_text(
+        "0 1 1 1 0.5\n"   # a from unigram state
+        "0 2 2 2 1.2\n"   # b
+        "1 2 2 2 0.3\n"   # b | a
+        "1 0 0 0 0.4\n"   # backoff a-ctx -> uni
+        "2 0 0 0 0.2\n"   # backoff b-ctx -> uni
+        "1 1 1 1 0.9\n"   # a | a
+        "0 0.1\n"          # uni state final
+        "2 0.05\n"         # b-ctx final
+    )
+    return read_text_fst(str(path))
+
+
+def test_advance_matches_sorted_matcher(toy_fst):
+    tables = toy_fst.device_arrays()
+    py = PySortedMatcher(toy_fst)
+    states, costs = init_state_sets(toy_fst, (1, 1), max_states=4)
+    # emit 'a' (ilabel 1) then 'b' (2)
+    for ilabel in (1, 2, 1):
+        ref_map = {}
+        for s_row, c_row in [(np.asarray(states)[0, 0], np.asarray(costs)[0, 0])]:
+            for s, c in zip(s_row, c_row):
+                if s < 0:
+                    continue
+                scs, sts = py.get_scores(int(s), ilabel)
+                for sc, st in zip(scs, sts):
+                    v = float(c) + sc
+                    if st not in ref_map or v < ref_map[st]:
+                        ref_map[st] = v
+        states, costs, lm = fst_advance_sets(
+            tables, states, costs, jnp.full((1, 1), ilabel, jnp.int32)
+        )
+        got = {
+            int(s): float(c)
+            for s, c in zip(np.asarray(states)[0, 0], np.asarray(costs)[0, 0])
+            if s >= 0
+        }
+        assert set(got) == set(ref_map)
+        for k in ref_map:
+            np.testing.assert_allclose(got[k], ref_map[k], rtol=1e-5)
+        np.testing.assert_allclose(float(lm[0, 0]), -min(ref_map.values()), rtol=1e-5)
+
+
+def test_final_scores_match(toy_fst):
+    tables = toy_fst.device_arrays()
+    py = PySortedMatcher(toy_fst)
+    states, costs = init_state_sets(toy_fst, (1, 1), max_states=4)
+    states, costs, _ = fst_advance_sets(tables, states, costs, jnp.full((1, 1), 1, jnp.int32))
+    got = float(fst_final_scores(tables, states, costs)[0, 0])
+    ref = min(
+        float(c) + py.final_score(int(s))
+        for s, c in zip(np.asarray(states)[0, 0], np.asarray(costs)[0, 0])
+        if s >= 0
+    )
+    np.testing.assert_allclose(got, -ref, rtol=1e-5)
+
+
+def test_dead_set_kills_beam(toy_fst):
+    """Unknown ilabel (no arc anywhere) must yield an empty set and -INF lm."""
+    tables = toy_fst.device_arrays()
+    states, costs = init_state_sets(toy_fst, (1, 1), max_states=4)
+    states, costs, lm = fst_advance_sets(tables, states, costs, jnp.full((1, 1), 99, jnp.int32))
+    assert (np.asarray(states) < 0).all()
+    assert float(lm[0, 0]) < -1e29
+
+
+def test_nonblk_reward(toy_fst):
+    tables = toy_fst.device_arrays()
+    states, costs = init_state_sets(toy_fst, (1, 1), max_states=4)
+    _, costs_r, lm_r = fst_advance_sets(
+        tables, states, costs, jnp.full((1, 1), 1, jnp.int32), nonblk_reward=0.7
+    )
+    _, costs_0, lm_0 = fst_advance_sets(
+        tables, states, costs, jnp.full((1, 1), 1, jnp.int32)
+    )
+    np.testing.assert_allclose(float(lm_r[0, 0]), float(lm_0[0, 0]) + 0.7, rtol=1e-5)
+
+
+def test_compile_arpa_scores(tmp_path):
+    """Bigram ARPA: sentence score through the automaton = ARPA chain rule."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(
+        "\\data\\\n"
+        "ngram 1=4\n"
+        "ngram 2=3\n"
+        "\n"
+        "\\1-grams:\n"
+        "-0.7 <s> -0.3\n"
+        "-0.9 a -0.2\n"
+        "-1.1 b -0.25\n"
+        "-0.8 </s>\n"
+        "\n"
+        "\\2-grams:\n"
+        "-0.30 <s> a\n"
+        "-0.45 a b\n"
+        "-0.5 b </s>\n"
+        "\n"
+        "\\end\\\n"
+    )
+    sym = {"a": 1, "b": 2}
+    tables_obj = compile_arpa(str(arpa), sym)
+    tables = tables_obj.device_arrays()
+    states, costs = init_state_sets(tables_obj, (1, 1), max_states=4)
+    total = 0.0
+    for ilabel in (1, 2):  # "a b"
+        states, costs, lm = fst_advance_sets(tables, states, costs, jnp.full((1, 1), ilabel, jnp.int32))
+    final = float(fst_final_scores(tables, states, costs)[0, 0])
+    # ARPA chain: p(a|<s>) = 10^-0.30 ; p(b|a) = 10^-0.45 ; p(</s>|b) = 10^-0.5
+    expected = -(0.30 + 0.45 + 0.5) * math.log(10)
+    np.testing.assert_allclose(final, expected, rtol=1e-4)
