@@ -56,6 +56,8 @@ class _BeamState(NamedTuple):
     t_idx: jnp.ndarray        # (B, K)
     tokens: jnp.ndarray       # (B, K, Um)
     lens: jnp.ndarray         # (B, K)
+    aligns: jnp.ndarray       # (B, K, max_steps) full alignment incl. blanks
+    align_lens: jnp.ndarray   # (B, K)
     hashes: jnp.ndarray       # (B, K) uint32
     dec_hid: jnp.ndarray      # (B, K, H)
     dec_h: jnp.ndarray        # (L, B, K, H)
@@ -65,6 +67,8 @@ class _BeamState(NamedTuple):
     fin_scores: jnp.ndarray   # (B, N)
     fin_tokens: jnp.ndarray   # (B, N, Um)
     fin_lens: jnp.ndarray     # (B, N)
+    fin_aligns: jnp.ndarray   # (B, N, max_steps)
+    fin_align_lens: jnp.ndarray  # (B, N)
 
 
 def _gather_beams(x, idx):
@@ -82,7 +86,10 @@ def beam_search(
     fst_start: int = 0,
 ):
     """Decode a batch.  Returns dict(tokens (B, N, Um), lens (B, N),
-    scores (B, N)) sorted best-first; padding token is -1."""
+    scores (B, N), aligns (B, N, T+Um), align_lens (B, N)) sorted
+    best-first; padding token is -1.  ``aligns`` is the full emission
+    sequence including blanks — the MBR trainer\'s lattice path
+    (train_transducer_mbr_bmuf_otfaug.py:213-228)."""
     if model.config.decoder_type != "rnn":
         raise NotImplementedError("beam_search requires an RNN prediction net")
     b, t_max, _ = enc_out.shape
@@ -113,6 +120,7 @@ def beam_search(
         fst_states0 = jnp.zeros((b, k, 1), jnp.int32)
         fst_costs0 = jnp.zeros((b, k, 1), jnp.float32)
 
+    max_steps = t_max + um
     init = _BeamState(
         step=jnp.zeros((), jnp.int32),
         scores=jnp.full((b, k), NEG).at[:, 0].set(0.0),
@@ -120,6 +128,8 @@ def beam_search(
         t_idx=jnp.zeros((b, k), jnp.int32),
         tokens=jnp.full((b, k, um), -1, jnp.int32),
         lens=jnp.zeros((b, k), jnp.int32),
+        aligns=jnp.full((b, k, max_steps), -1, jnp.int32),
+        align_lens=jnp.zeros((b, k), jnp.int32),
         hashes=jnp.zeros((b, k), jnp.uint32),
         dec_hid=dec_hid0.reshape(b, k, hid),
         dec_h=h0.reshape(layers, b, k, hid),
@@ -129,8 +139,9 @@ def beam_search(
         fin_scores=jnp.full((b, n), NEG),
         fin_tokens=jnp.full((b, n, um), -1, jnp.int32),
         fin_lens=jnp.zeros((b, n), jnp.int32),
+        fin_aligns=jnp.full((b, n, max_steps), -1, jnp.int32),
+        fin_align_lens=jnp.zeros((b, n), jnp.int32),
     )
-    max_steps = t_max + um
 
     def cond(st: _BeamState):
         live_best = jnp.max(st.scores, axis=1)
@@ -177,9 +188,13 @@ def beam_search(
         all_scores = jnp.concatenate([st.fin_scores, fin_cand_score], axis=1)
         all_tokens = jnp.concatenate([st.fin_tokens, st.tokens], axis=1)
         all_lens = jnp.concatenate([st.fin_lens, st.lens], axis=1)
+        all_aligns = jnp.concatenate([st.fin_aligns, st.aligns], axis=1)
+        all_align_lens = jnp.concatenate([st.fin_align_lens, st.align_lens], axis=1)
         top_fin, fin_idx = jax.lax.top_k(all_scores, n)
         fin_tokens = jnp.take_along_axis(all_tokens, fin_idx[..., None], axis=1)
         fin_lens = jnp.take_along_axis(all_lens, fin_idx, axis=1)
+        fin_aligns = jnp.take_along_axis(all_aligns, fin_idx[..., None], axis=1)
+        fin_align_lens = jnp.take_along_axis(all_align_lens, fin_idx, axis=1)
 
         # finished beams cannot continue via blank past the last frame
         cand = cand.at[..., cfg.blank].set(
@@ -199,6 +214,8 @@ def beam_search(
 
         tokens = _gather_beams(st.tokens, prev_k)
         lens = _gather_beams(st.lens, prev_k)
+        aligns = _gather_beams(st.aligns, prev_k)
+        align_lens = _gather_beams(st.align_lens, prev_k)
         hashes = _gather_beams(st.hashes, prev_k)
         t_idx = _gather_beams(st.t_idx, prev_k)
         dec_hid = _gather_beams(st.dec_hid, prev_k)
@@ -208,6 +225,11 @@ def beam_search(
         fst_costs = _gather_beams(st.fst_costs, prev_k)
 
         emit = tok != cfg.blank
+        # record the alignment step (blank or not)
+        apos = jnp.clip(align_lens, 0, max_steps - 1)
+        awrite = jnp.arange(max_steps)[None, None, :] == apos[..., None]
+        aligns = jnp.where(awrite, tok[..., None], aligns)
+        align_lens = align_lens + 1
         # append emitted tokens
         pos = jnp.clip(lens, 0, um - 1)
         write = emit[..., None] & (jnp.arange(um)[None, None, :] == pos[..., None])
@@ -246,6 +268,8 @@ def beam_search(
             t_idx=t_idx,
             tokens=tokens,
             lens=lens,
+            aligns=aligns,
+            align_lens=align_lens,
             hashes=hashes,
             dec_hid=dec_hid,
             dec_h=dec_h,
@@ -255,6 +279,8 @@ def beam_search(
             fin_scores=top_fin,
             fin_tokens=fin_tokens,
             fin_lens=fin_lens,
+            fin_aligns=fin_aligns,
+            fin_align_lens=fin_align_lens,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -264,11 +290,15 @@ def beam_search(
     all_scores = jnp.concatenate([final.fin_scores, final.scores], axis=1)
     all_tokens = jnp.concatenate([final.fin_tokens, final.tokens], axis=1)
     all_lens = jnp.concatenate([final.fin_lens, final.lens], axis=1)
+    all_aligns = jnp.concatenate([final.fin_aligns, final.aligns], axis=1)
+    all_align_lens = jnp.concatenate([final.fin_align_lens, final.align_lens], axis=1)
     top, idx = jax.lax.top_k(all_scores, n)
     return {
         "tokens": jnp.take_along_axis(all_tokens, idx[..., None], axis=1),
         "lens": jnp.take_along_axis(all_lens, idx, axis=1),
         "scores": top,
+        "aligns": jnp.take_along_axis(all_aligns, idx[..., None], axis=1),
+        "align_lens": jnp.take_along_axis(all_align_lens, idx, axis=1),
     }
 
 

@@ -14,3 +14,4 @@ from pika_tpu.models.transformer import (
 from pika_tpu.models.tdnn_transformer import TDNNTransformerEncoder
 from pika_tpu.models.conv_transformer_lm import ConvTransformerLM
 from pika_tpu.models.transducer import Transducer, TransducerConfig, init_transducer
+from pika_tpu.models.las import LAS, LASConfig, init_las

@@ -10,3 +10,5 @@ from pika_tpu.train.step import (
     transducer_loss,
 )
 from pika_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+from pika_tpu.train.mbr import make_mbr_step, mbr_losses
+from pika_tpu.train.las_step import make_las_train_step, las_loss
