@@ -1,0 +1,170 @@
+"""Shared CLI plumbing: argparse registration mirroring the reference's
+flag surface (trainer/train_transducer_bmuf_otfaug.py:150-255 and
+loader/otf_utt_loader.py:68-114), plus builders that turn parsed flags
+into featurizers, loader configs, and optimizers."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pika_tpu.data.cmvn import CmvnStats, offset_scale
+from pika_tpu.data.loader import OtfLoaderConfig
+from pika_tpu.features.fbank import FbankConfig
+from pika_tpu.train.lr import make_optimizer
+from pika_tpu.train.step import FeaturizerConfig, make_featurizer
+
+
+def add_loader_args(parser: argparse.ArgumentParser) -> None:
+    """Loader flags (loader/otf_utt_loader.py:68-114)."""
+    parser.add_argument("--lctx", type=int, default=1)
+    parser.add_argument("--rctx", type=int, default=1)
+    parser.add_argument("--max_len", type=int, default=6000)
+    parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument("--batch_first", action="store_true")
+    parser.add_argument("--reverse_labels", action="store_true")
+    parser.add_argument("--feat_config", type=str, default=None)
+    parser.add_argument("--stride", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--SOS", type=int, default=-1)
+    parser.add_argument("--EOS", type=int, default=-1)
+    parser.add_argument("--queue_size", type=int, default=8)
+    parser.add_argument("--TU_limit", type=int, default=15000)
+    parser.add_argument("--padding_tgt", type=int, default=0)
+    parser.add_argument("--feats_dim", type=int, default=80)
+    parser.add_argument("--gain_range", type=str, default="55,10")
+    parser.add_argument("--speed_rate", type=str, default="0.9,1.0,1.1")
+    parser.add_argument("--no_augment", action="store_true",
+                        help="disable speed/gain perturbation")
+    parser.add_argument("--max_wav_seconds", type=float, default=20.0,
+                        help="largest waveform bucket in seconds")
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--encoder_type", type=str, default="rnn",
+                        choices=["rnn", "transformer"])
+    parser.add_argument("--decoder_type", type=str, default="rnn",
+                        choices=["rnn", "transformer"])
+    parser.add_argument("--enc_layers", type=int, default=2)
+    parser.add_argument("--dec_layers", type=int, default=2)
+    parser.add_argument("--rnn_size", type=int, default=512)
+    parser.add_argument("--embd_dim", type=int, default=300)
+    parser.add_argument("--output_dim", type=int, default=8000)
+    parser.add_argument("--model_lctx", type=int, default=0)
+    parser.add_argument("--model_rctx", type=int, default=0)
+    parser.add_argument("--model_stride", type=int, default=1)
+    parser.add_argument("--brnn", action="store_true")
+    parser.add_argument("--dropout", type=float, default=0.3)
+    parser.add_argument("--tdnn_nhid", type=int, default=1024)
+    parser.add_argument("--tdnn_layers", type=int, default=9)
+
+
+def add_train_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--init_model", type=str, default=None)
+    parser.add_argument("--cmn", action="store_true")
+    parser.add_argument("--cmvn_stats", type=str, default=None)
+    parser.add_argument("--optim", type=str, default="sgd",
+                        choices=["sgd", "adam", "adadelta"])
+    parser.add_argument("--grad_clip", type=float, default=-1.0)
+    parser.add_argument("--initial_lr", type=float, default=1.0)
+    parser.add_argument("--final_lr", type=float, default=1.0)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--num_epochs", type=int, default=15)
+    parser.add_argument("--num_batches_per_epoch", type=int, default=1000)
+    parser.add_argument("--log_per_n_frames", type=int, default=1024 * 1024)
+    parser.add_argument("--seed", type=int, default=777)
+    # distributed strategy (replaces torch.distributed.launch + BMUF flags)
+    parser.add_argument("--dp_mode", type=str, default="sync",
+                        choices=["sync", "bmuf", "blockadam", "bmufadam"])
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="mesh size (default: all visible devices)")
+    parser.add_argument("--block_momentum", type=float, default=0.9)
+    parser.add_argument("--block_lr", type=float, default=1.0)
+    parser.add_argument("--sync_period", type=int, default=5)
+    # SpecAugment
+    parser.add_argument("--spec_augment", action="store_true")
+    parser.add_argument("--max_freq_span", type=int, default=15)
+    parser.add_argument("--max_time_span", type=int, default=35)
+    parser.add_argument("--loss_chunk", type=int, default=16)
+    parser.add_argument("--loss_backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"])
+
+
+def fbank_from_args(args) -> FbankConfig:
+    if args.feat_config:
+        return FbankConfig.from_conf(args.feat_config)
+    return FbankConfig(
+        sample_frequency=args.sample_rate, window_type="hamming",
+        dither=1.0, low_freq=40.0, high_freq=-200.0,
+        num_mel_bins=args.feats_dim,
+    )
+
+
+def loader_cfg_from_args(args, batch_size: Optional[int] = None) -> OtfLoaderConfig:
+    fb = fbank_from_args(args)
+    gains = tuple(float(g) for g in args.gain_range.split(","))
+    speeds = tuple(float(s) for s in args.speed_rate.split(","))
+    max_samples = int(args.max_wav_seconds * args.sample_rate)
+    buckets = tuple(int(max_samples * f) for f in (0.25, 0.5, 0.75, 1.0))
+    return OtfLoaderConfig(
+        batch_size=batch_size or args.batch_size,
+        sample_rate=args.sample_rate,
+        frame_length=fb.frame_length,
+        frame_shift=fb.frame_shift,
+        stride=args.stride,
+        max_len=args.max_len,
+        tu_limit=args.TU_limit,
+        speed_rates=speeds,
+        gain_range=gains,
+        num_workers=args.num_workers,
+        queue_size=args.queue_size,
+        reverse_labels=args.reverse_labels,
+        sos=args.SOS,
+        eos=args.EOS,
+        pad_label=args.padding_tgt,
+        seed=args.seed,
+        wav_buckets=buckets,
+        label_buckets=(16, 32, 64, 128),
+        augment=not args.no_augment,
+    )
+
+
+def featurizer_from_args(args, spec_augment: Optional[bool] = None):
+    """Returns (featurizer, input_dim, max_samples)."""
+    fb = fbank_from_args(args)
+    max_samples = int(args.max_wav_seconds * args.sample_rate)
+    offset = scale = None
+    if args.cmvn_stats:
+        stats = CmvnStats.read(args.cmvn_stats)
+        off, sc = offset_scale(stats.stats, splice_copies=args.lctx + 1 + args.rctx)
+        offset, scale = jnp.asarray(off), jnp.asarray(sc)
+    cfg = FeaturizerConfig(
+        fbank=fb, max_samples=max_samples,
+        lctx=args.lctx, rctx=args.rctx, stride=args.stride,
+        cmn=args.cmn,
+        spec_augment=args.spec_augment if spec_augment is None else spec_augment,
+        max_freq_span=args.max_freq_span, max_time_span=args.max_time_span,
+    )
+    input_dim = fb.num_mel_bins * (args.lctx + 1 + args.rctx)
+    return make_featurizer(cfg, offset, scale), input_dim, max_samples
+
+
+def optimizer_from_args(args):
+    return make_optimizer(
+        args.optim, args.initial_lr, args.final_lr,
+        args.num_epochs * args.num_batches_per_epoch,
+        args.momentum, args.grad_clip,
+    )
+
+
+def expand_worker_lists(data_lst: str, n: int):
+    """WORKER-ID substitution (train_transducer:285): one SPMD process owns
+    all devices, so per-worker lists are merged into one stream."""
+    if "WORKER-ID" not in data_lst:
+        return [data_lst]
+    return [data_lst.replace("WORKER-ID", str(i)) for i in range(n)]

@@ -1,0 +1,187 @@
+"""Batch decoding CLI — eval_transducer / decode_transducer equivalent.
+
+Mirrors decoder/decode_transducer.py + egs/eval_transducer.sh: reads a
+model bundle, decodes a wav.scp (features computed on device — no Kaldi
+feature archives needed), optionally applies n-gram FST shallow fusion and
+LAS forward/backward rescoring, writes N-best hypotheses with scores in
+the reference's output format, then reranks and (given references) scores
+WER/CER.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pika_tpu.data.scp import read_symbol_table, read_wav_scp, read_int_vectors
+from pika_tpu.data.wavio import read_wav
+from pika_tpu.data import segment as seg
+from pika_tpu.decode.beam import BeamConfig, beam_search_waveforms
+from pika_tpu.decode.fst import compile_arpa, read_text_fst
+from pika_tpu.decode.rescore import las_score_hyps, rerank_nbest
+from pika_tpu.decode.wer import score_wer
+from pika_tpu.models.transducer import Transducer
+from pika_tpu.train import common
+from pika_tpu.train.bundle import load_bundle
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="transducer batch decoding")
+    parser.add_argument("model", type=str, help="model bundle directory")
+    parser.add_argument("wav_scp", type=str, help="wav.scp to decode")
+    parser.add_argument("output_file", type=str)
+    parser.add_argument("--symbols_map", type=str, default=None)
+    parser.add_argument("--ref_labels", type=str, default=None,
+                        help="label.txt for WER scoring")
+    parser.add_argument("--beam_size", type=int, default=8)
+    parser.add_argument("--n_best", type=int, default=8)
+    parser.add_argument("--blk", type=int, default=0)
+    parser.add_argument("--sm_scale", type=float, default=1.0)
+    parser.add_argument("--max_symbols", type=int, default=220)
+    parser.add_argument("--fst_lm", type=str, default="",
+                        help="text FST or .arpa n-gram LM")
+    parser.add_argument("--fst_lm_scale", type=float, default=1.0)
+    parser.add_argument("--nonblk_reward", type=float, default=0.0)
+    parser.add_argument("--max_fst_states", type=int, default=4)
+    parser.add_argument("--las_rescorer_model", type=str, default=None)
+    parser.add_argument("--las_rescorer_bw_model", type=str, default=None)
+    parser.add_argument("--rnnt_score_scale", type=float, default=1.0)
+    parser.add_argument("--las_fw_score_scale", type=float, default=0.3)
+    parser.add_argument("--las_bw_score_scale", type=float, default=0.7)
+    parser.add_argument("--output_scores", action="store_true")
+    parser.add_argument("--cmvn_stats", type=str, default=None)
+    parser.add_argument("--cmn", action="store_true")
+    common.add_loader_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    model, variables, _ = load_bundle(args.model)
+    args.spec_augment = False
+    args.max_freq_span = args.max_time_span = 0
+    args.cmn = getattr(args, "cmn", False)
+    featurizer, _, max_samples = common.featurizer_from_args(args, spec_augment=False)
+
+    fst_tables = None
+    fst_start = 0
+    if args.fst_lm:
+        if args.fst_lm.endswith(".arpa"):
+            sym = read_symbol_table(args.symbols_map)
+            tables = compile_arpa(args.fst_lm, {s: i + 1 for i, s in sym.items()})
+        else:
+            tables = read_text_fst(args.fst_lm)
+        fst_tables = tables.device_arrays()
+        fst_start = tables.start
+
+    cfg = BeamConfig(
+        beam_size=args.beam_size, n_best=args.n_best, blank=args.blk,
+        sm_scale=args.sm_scale, max_symbols=args.max_symbols,
+        lm_scale=args.fst_lm_scale if fst_tables is not None else 0.0,
+        nonblk_reward=args.nonblk_reward, max_fst_states=args.max_fst_states,
+    )
+
+    las_fw = las_bw = None
+    if args.las_rescorer_model:
+        las_fw = load_bundle(args.las_rescorer_model)
+    if args.las_rescorer_bw_model:
+        las_bw = load_bundle(args.las_rescorer_bw_model)
+
+    decode = jax.jit(
+        lambda w, l: beam_search_waveforms(
+            model, variables, featurizer, w, l, cfg, fst_tables, fst_start
+        )
+    )
+
+    sym_map = read_symbol_table(args.symbols_map) if args.symbols_map else None
+    scp = read_wav_scp(args.wav_scp)
+    uttids = list(scp)
+    bsz = args.batch_size
+    total_audio = 0.0
+    t_start = time.perf_counter()
+    hyp_best = {}
+
+    with open(args.output_file, "w", encoding="utf-8") as out_f:
+        for i0 in range(0, len(uttids), bsz):
+            chunk = uttids[i0 : i0 + bsz]
+            wavs = np.zeros((len(chunk), max_samples), np.float32)
+            lens = np.zeros(len(chunk), np.int32)
+            for i, uttid in enumerate(chunk):
+                pcm, rate = read_wav(scp[uttid])
+                x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
+                x = x[:max_samples]
+                wavs[i, : len(x)] = x
+                lens[i] = len(x)
+                total_audio += len(x) / rate
+            pad = bsz - len(chunk)
+            if pad:
+                wavs = np.pad(wavs, ((0, pad), (0, 0)))
+                lens = np.pad(lens, (0, pad), constant_values=max_samples)
+            out = decode(jnp.asarray(wavs), jnp.asarray(lens))
+
+            fw_scores = bw_scores = None
+            fw_tok = bw_tok = None
+            if las_fw is not None:
+                m, v, _ = las_fw
+                fw_scores, fw_tok = las_score_hyps(
+                    m, v, out["enc_out"], out["enc_lens"], out["tokens"],
+                    out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
+                    eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
+                )
+            if las_bw is not None:
+                m, v, _ = las_bw
+                bw_scores, bw_tok = las_score_hyps(
+                    m, v, out["enc_out"], out["enc_lens"], out["tokens"],
+                    out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
+                    eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
+                    reverse=True,
+                )
+
+            best_idx, _ = rerank_nbest(
+                out["scores"], out["lens"], fw_scores, bw_scores,
+                args.rnnt_score_scale, args.las_fw_score_scale, args.las_bw_score_scale,
+            )
+
+            for i, uttid in enumerate(chunk):
+                for j in range(args.n_best):
+                    length = int(out["lens"][i, j])
+                    toks = [int(t) for t in np.asarray(out["tokens"][i, j, :length])]
+                    text = "".join(sym_map.get(t, f"<{t}>") for t in toks) if sym_map else " ".join(map(str, toks))
+                    out_f.write(text)
+                    if args.output_scores:
+                        out_f.write(f" {float(out['scores'][i, j])}")
+                        if fw_tok is not None:
+                            out_f.write(" " + " ".join(str(float(s)) for s in np.asarray(fw_tok[i, j, : length + 1])))
+                        if bw_tok is not None:
+                            out_f.write(" " + " ".join(str(float(s)) for s in np.asarray(bw_tok[i, j, : length + 1])))
+                    out_f.write("\n")
+                bj = int(best_idx[i])
+                length = int(out["lens"][i, bj])
+                hyp_best[uttid] = [str(int(t)) for t in np.asarray(out["tokens"][i, bj, :length])]
+
+    elapsed = time.perf_counter() - t_start
+    rtf = elapsed / max(total_audio, 1e-9)
+    print(f"decoded {len(uttids)} utts, {total_audio:.1f}s audio in {elapsed:.1f}s "
+          f"(RTF {rtf:.4f}, {len(uttids) / elapsed:.2f} utt/s)", file=sys.stderr)
+
+    if args.ref_labels:
+        refs = {
+            uttid: [str(int(x)) for x in vec]
+            for uttid, vec in read_int_vectors(args.ref_labels).items()
+            if uttid in hyp_best
+        }
+        wer, counts = score_wer(refs, hyp_best)
+        print(f"%WER {wer * 100:.2f} [ {counts['errors']} / {counts['words']}, "
+              f"{counts['ins']} ins, {counts['del']} del, {counts['sub']} sub ]",
+              file=sys.stderr)
+        return wer
+    return None
+
+
+if __name__ == "__main__":
+    main()

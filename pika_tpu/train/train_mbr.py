@@ -1,0 +1,94 @@
+"""MBR training CLI — train_transducer_mbr_bmuf_otfaug equivalent.
+
+Continues from an RNN-T bundle (``--init_model`` is required, matching
+egs/train_transducer_mbr_bmuf_otfaug.sh:43) and fine-tunes with the
+expected-edit-distance objective interpolated with ``--rnnt_scale`` × the
+RNN-T loss.  Periodic temp checkpoints every ``--tmp_save_batches``
+(reference: every 3000 batches, train_transducer_mbr:246-250).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pika_tpu.decode.beam import BeamConfig
+from pika_tpu.train import common
+from pika_tpu.train.bundle import load_bundle, save_bundle
+from pika_tpu.train.mbr import make_mbr_step
+from pika_tpu.train.step import TrainState
+from pika_tpu.train.train_transducer import batch_stream, to_device_batch
+from pika_tpu.utils.logger import Logger
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Transducer MBR training")
+    parser.add_argument("data_lst", type=str)
+    parser.add_argument("log", type=str)
+    parser.add_argument("output_dir", type=str)
+    common.add_loader_args(parser)
+    common.add_model_args(parser)
+    common.add_train_args(parser)
+    parser.add_argument("--beam_size", type=int, default=4)
+    parser.add_argument("--sm_scale", type=float, default=1.0)
+    parser.add_argument("--rnnt_scale", type=float, default=0.0)
+    parser.add_argument("--decode_max_symbols", type=int, default=220)
+    parser.add_argument("--tmp_save_batches", type=int, default=3000)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if not args.init_model:
+        raise SystemExit("MBR training requires --init_model (an RNN-T bundle)")
+    args.num_devices = args.num_devices or 1
+    log_f = open(args.log.replace("WORKER-ID", "0"), "w")
+
+    featurizer, input_dim, _ = common.featurizer_from_args(args)
+    model, variables, _ = load_bundle(args.init_model)
+    tx = common.optimizer_from_args(args)
+    loader_cfg = common.loader_cfg_from_args(args)
+
+    beam_cfg = BeamConfig(
+        beam_size=args.beam_size, n_best=args.beam_size,
+        sm_scale=args.sm_scale, max_symbols=args.decode_max_symbols,
+        prune_dups=False,  # reference decodes with beam_prune=False (:87)
+    )
+    step = make_mbr_step(
+        model, tx, featurizer, beam_cfg,
+        rnnt_scale=args.rnnt_scale, sm_scale=args.sm_scale,
+        loss_chunk=args.loss_chunk, loss_backend=args.loss_backend,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+    )
+    key = jax.random.PRNGKey(args.seed)
+    num_done = 0
+    for epoch in range(args.num_epochs):
+        log_f.write(f"===> Epoch {epoch} <===\n")
+        logger = Logger(log_f, args.log_per_n_frames, ["MBR Loss", "RNNT Loss"])
+        for batch in batch_stream(args, loader_cfg, epoch):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, to_device_batch(batch), sub)
+            logger.update_and_log(
+                int(metrics["num_labels"]),
+                [float(metrics["mbr_loss"]), float(metrics["rnnt_loss"])],
+            )
+            num_done += 1
+            if num_done % args.tmp_save_batches == 0:
+                save_bundle(f"{args.output_dir}/model.tmp", "transducer",
+                            model.config, {"params": jax.device_get(state.params)})
+        logger.summarize_and_log()
+        save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "transducer",
+                    model.config, {"params": jax.device_get(state.params)},
+                    metadata={"epoch": epoch})
+    log_f.write("Training Finished\n")
+    log_f.close()
+
+
+if __name__ == "__main__":
+    main()

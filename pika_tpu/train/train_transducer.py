@@ -1,0 +1,225 @@
+"""RNN-T training CLI — train_transducer_bmuf_otfaug equivalent.
+
+Usage mirrors the reference entry point (trainer/train_transducer_bmuf_otfaug.py):
+
+    python -m pika_tpu.train.train_transducer DATA_LST LOG OUTPUT_DIR \
+        --encoder_type transformer --decoder_type rnn --rnn_size 1024 ... \
+        --dp_mode bmuf --sync_period 5 --block_momentum 0.9
+
+One SPMD process drives the whole device mesh (replacing
+torch.distributed.launch's process-per-GPU).  ``--dp_mode sync`` is
+per-step data parallelism; ``bmuf``/``blockadam``/``bmufadam`` run the
+corresponding block strategies with one collective per sync period.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pika_tpu.data.loader import dataloader
+from pika_tpu.models.transducer import TransducerConfig, init_transducer
+from pika_tpu.parallel import (
+    BMUFConfig, bmuf_init, jit_dp, make_bmuf_round, make_mesh,
+    replicate_tree, shard_batch,
+)
+from pika_tpu.train import common
+from pika_tpu.train.bundle import load_bundle, save_bundle
+from pika_tpu.train.step import TrainState, make_train_step, transducer_loss
+from pika_tpu.utils.logger import Logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Transducer training")
+    parser.add_argument("data_lst", type=str,
+                        help="list of mrk, seq, ali files for data")
+    parser.add_argument("log", type=str, help="log file for the job")
+    parser.add_argument("output_dir", type=str, help="path to save models")
+    common.add_loader_args(parser)
+    common.add_model_args(parser)
+    common.add_train_args(parser)
+    return parser
+
+
+def make_model(args, input_dim):
+    cfg = TransducerConfig(
+        input_dim=input_dim,
+        vocab_size=args.output_dim,
+        hid_dim=args.rnn_size,
+        encoder_type="tdnn_transformer" if args.encoder_type == "transformer" else "rnn",
+        decoder_type="transformer" if args.decoder_type == "transformer" else "rnn",
+        enc_layers=args.enc_layers,
+        dec_layers=args.dec_layers,
+        embd_dim=args.embd_dim,
+        dropout=args.dropout,
+        brnn=args.brnn,
+        tdnn_nhid=args.tdnn_nhid,
+        tdnn_layers=args.tdnn_layers,
+    )
+    if args.init_model:
+        model, variables, _ = load_bundle(args.init_model)
+        return model, variables, model.config
+    model, variables = init_transducer(jax.random.PRNGKey(args.seed), cfg)
+    return model, variables, cfg
+
+
+def batch_stream(args, loader_cfg, epoch: int):
+    """Merged stream over (possibly WORKER-ID-expanded) data lists."""
+    import dataclasses as _dc
+
+    lists = common.expand_worker_lists(args.data_lst, args.num_devices or jax.device_count())
+    streams = []
+    for i, lst in enumerate(lists):
+        cfg_i = _dc.replace(loader_cfg, seed=loader_cfg.seed + 1000 * epoch + i)
+        streams.append(dataloader(lst, cfg_i))
+    for batches in itertools.zip_longest(*streams):
+        for b in batches:
+            if b is not None:
+                yield b
+
+
+def to_device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "uttids"}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    mesh = make_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    log_f = open(args.log.replace("WORKER-ID", "0"), "w")
+
+    featurizer, input_dim, _ = common.featurizer_from_args(args)
+    model, variables, cfg = make_model(args, input_dim)
+    tx = common.optimizer_from_args(args)
+    loader_cfg = common.loader_cfg_from_args(
+        args, batch_size=args.batch_size * n_dev
+    )
+
+    num_param = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    log_f.write("*" * 60 + "\n")
+    log_f.write(
+        f"model: transducer  input dim: {input_dim}\toutput dim: {args.output_dim}\n"
+        f"hidden dim: {args.rnn_size}\tenc_layers: {args.enc_layers}\n"
+        f"dec_layers: {args.dec_layers}\tdevices: {n_dev} ({args.dp_mode})\n"
+        f"model size: {num_param / 1e6:.2f} M\n"
+    )
+    log_f.write("*" * 60 + "\n")
+    log_f.flush()
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats"),
+    )
+
+    if args.dp_mode == "sync":
+        step = make_train_step(model, tx, featurizer,
+                               loss_chunk=args.loss_chunk,
+                               loss_backend=args.loss_backend, donate=True)
+        dp_step = jit_dp(step, mesh)
+        state = replicate_tree(state, mesh)
+
+        def run_epoch(epoch, state):
+            logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
+            key = jax.random.PRNGKey(args.seed + epoch)
+            for batch in batch_stream(args, loader_cfg, epoch):
+                key, sub = jax.random.split(key)
+                state, metrics = dp_step(state, shard_batch(to_device_batch(batch), mesh), sub)
+                logger.update_and_log(int(metrics["num_labels"]), [float(metrics["loss"])])
+            logger.summarize_and_log()
+            return state
+
+    else:
+        bcfg = BMUFConfig(
+            variant=args.dp_mode if args.dp_mode != "bmuf" else "bmuf",
+            block_momentum=args.block_momentum, block_lr=args.block_lr,
+            sync_period=args.sync_period,
+        )
+        bstate = bmuf_init(state.params, bcfg)
+
+        def local_step(params, opt_state, extra, lbatch, key):
+            kf, kd = jax.random.split(key)
+            feats, feat_lens = featurizer(kf, lbatch["wavs"], lbatch["wav_lens"], True)
+
+            def loss_fn(p):
+                loss, _ = transducer_loss(
+                    model, p, None, feats, feat_lens,
+                    lbatch["labels"], lbatch["label_lens"], train=True,
+                    dropout_key=kd, loss_chunk=args.loss_chunk,
+                    loss_backend=args.loss_backend,
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, extra, {
+                "loss": loss, "num_labels": lbatch["label_lens"].sum(),
+            }
+
+        round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh)
+
+        def run_epoch(epoch, bstate_):
+            logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
+            key = jax.random.PRNGKey(args.seed + epoch)
+            pending = []
+            for batch in batch_stream(args, loader_cfg, epoch):
+                pending.append(to_device_batch(batch))
+                if len(pending) == args.sync_period:
+                    # pad batches to a common bucket before stacking
+                    stacked = _stack_batches(pending)
+                    key, sub = jax.random.split(key)
+                    bstate_, _, ok, metrics = round_fn(bstate_, (), stacked, sub)
+                    if not bool(ok):
+                        log_f.write("NaN detected in BMUF sync — stopping\n")
+                        sys.exit(1)
+                    logger.update_and_log(
+                        int(np.asarray(metrics["num_labels"]).sum()),
+                        [float(np.asarray(metrics["loss"]).sum())],
+                    )
+                    pending = []
+            logger.summarize_and_log()
+            return bstate_
+
+    for epoch in range(args.num_epochs):
+        log_f.write(f"===> Epoch {epoch} <===\n")
+        log_f.flush()
+        if args.dp_mode == "sync":
+            state = run_epoch(epoch, state)
+            params_out = jax.device_get(state.params)
+        else:
+            bstate = run_epoch(epoch, bstate)
+            params_out = jax.device_get(bstate.params)
+        save_bundle(
+            f"{args.output_dir}/model.epoch.{epoch}", "transducer", cfg,
+            {"params": params_out}, metadata={"epoch": epoch},
+        )
+    log_f.write("Training Finished\n")
+    log_f.close()
+
+
+def _stack_batches(batches):
+    """Stack a sync period of batches, padding to the largest bucket."""
+    keys = [k for k in batches[0] if k != "uttids"]
+    out = {}
+    for k in keys:
+        arrs = [np.asarray(b[k]) for b in batches]
+        if arrs[0].ndim >= 2:
+            dim = max(a.shape[1] for a in arrs)
+            arrs = [
+                np.pad(a, [(0, 0), (0, dim - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
+                for a in arrs
+            ]
+        out[k] = jnp.asarray(np.stack(arrs))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Full recipe end-to-end through the CLIs (the egs/ equivalent):
+data prep → global CMVN → RNN-T training → batch decode + WER →
+MBR fine-tune → LAS training → decode with LAS rescoring."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pika_tpu.data.prep import main as prep_main
+from pika_tpu.train.train_transducer import main as train_main
+from pika_tpu.train.train_mbr import main as mbr_main
+from pika_tpu.train.train_las import main as las_main
+from pika_tpu.train.eval_transducer import main as eval_main
+
+SR = 16000
+VOCAB = 6
+TONE_HZ = {k: 300 + 180 * k for k in range(1, VOCAB)}
+
+
+def _make_corpus(tmp_path, n_utts, rng, seconds_cap=1.0):
+    from pika_tpu.data import write_wav, write_int_vectors
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    labels = []
+    with open(tmp_path / "wav.scp", "w") as scp:
+        for i in range(n_utts):
+            toks = rng.integers(1, VOCAB, int(rng.integers(2, 5)))
+            pieces = [
+                0.3 * np.sin(2 * np.pi * TONE_HZ[int(t)] * np.arange(int(SR * 0.12)) / SR)
+                for t in toks
+            ]
+            pcm = (np.concatenate(pieces) * 32767).astype(np.int16)
+            write_wav(wav_dir / f"u{i}.wav", pcm, SR)
+            scp.write(f"utt{i} {wav_dir}/u{i}.wav\n")
+            labels.append((f"utt{i}", toks.tolist()))
+    write_int_vectors(str(tmp_path / "label.txt"), labels)
+    with open(tmp_path / "char.txt", "w") as f:
+        f.write("<blk> 0\n")
+        for k in range(1, VOCAB):
+            f.write(f"{chr(ord('a') + k)} {k}\n")
+    return labels
+
+
+COMMON_FLAGS = [
+    "--feats_dim", "20", "--lctx", "1", "--rctx", "1", "--stride", "2",
+    "--batch_size", "8", "--num_workers", "1", "--no_augment",
+    "--max_wav_seconds", "1.0",
+]
+
+
+@pytest.mark.slow
+def test_full_recipe(tmp_path, rng):
+    _make_corpus(tmp_path, 24, rng)
+    d = str(tmp_path)
+
+    # 1) data prep: wav.scp → mrk/seq archives
+    prep_main(["wav_to_seq", f"{d}/wav.scp", f"{d}/train.mrk", f"{d}/train.seq"])
+    assert os.path.exists(f"{d}/train.mrk.0")
+    with open(f"{d}/data.lst", "w") as f:
+        f.write(f"{d}/train.mrk.0 {d}/train.seq.0 ark:{d}/label.txt\n")
+
+    # 2) global CMVN (no augmentation for determinism)
+    conf = tmp_path / "fbank.conf"
+    conf.write_text("--window-type=hamming\n--sample-frequency=16000\n--dither=0\n"
+                    "--low-freq=40\n--high-freq=-200\n--num-mel-bins=20\n")
+    prep_main(["compute_global_cmvn", f"{d}/data.lst", f"{d}/global_cmvn.stats",
+               "--feat_config", str(conf), "--no_normalize"])
+    assert os.path.exists(f"{d}/global_cmvn.stats")
+
+    # 3) RNN-T training (sync DP over 2 virtual devices)
+    os.makedirs(f"{d}/exp", exist_ok=True)
+    train_main([
+        f"{d}/data.lst", f"{d}/train.log", f"{d}/exp",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--encoder_type", "rnn", "--decoder_type", "rnn",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--rnn_size", "48", "--embd_dim", "16",
+        "--output_dim", str(VOCAB), "--dropout", "0.0",
+        "--optim", "sgd", "--initial_lr", "0.05", "--final_lr", "0.01",
+        "--grad_clip", "3.0", "--num_epochs", "30",
+        "--num_batches_per_epoch", "3",
+        "--dp_mode", "sync", "--num_devices", "2", "--batch_size", "4",
+    ])
+    model_dir = f"{d}/exp/model.epoch.29"
+    assert os.path.exists(f"{model_dir}/model.json")
+
+    # 4) batch decode + WER
+    wer = eval_main([
+        model_dir, f"{d}/wav.scp", f"{d}/nbest.txt",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--ref_labels", f"ark:{d}/label.txt",
+        "--beam_size", "4", "--n_best", "4", "--max_symbols", "8",
+        "--output_scores",
+    ])
+    assert wer is not None and wer < 0.15, f"WER too high: {wer}"
+    lines = open(f"{d}/nbest.txt").read().splitlines()
+    assert len(lines) == 24 * 4
+
+    # 5) MBR fine-tune for one short epoch
+    os.makedirs(f"{d}/exp_mbr", exist_ok=True)
+    mbr_main([
+        f"{d}/data.lst", f"{d}/mbr.log", f"{d}/exp_mbr",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--output_dim", str(VOCAB),
+        "--init_model", model_dir,
+        "--optim", "sgd", "--initial_lr", "0.01", "--final_lr", "0.01",
+        "--grad_clip", "3.0", "--num_epochs", "1", "--num_batches_per_epoch", "3",
+        "--beam_size", "2", "--decode_max_symbols", "8", "--rnnt_scale", "0.1",
+    ])
+    assert os.path.exists(f"{d}/exp_mbr/model.epoch.0/model.json")
+
+    # 6) LAS rescorer training on shared frozen encoder
+    #    labels with SOS=0 / EOS=VOCAB, pad=VOCAB+1 → output_dim=VOCAB+1
+    os.makedirs(f"{d}/exp_las", exist_ok=True)
+    las_main([
+        f"{d}/data.lst", f"{d}/las.log", f"{d}/exp_las",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--SOS", "0", "--EOS", str(VOCAB), "--padding_tgt", str(VOCAB + 1),
+        "--padding_idx", str(VOCAB + 1), "--output_dim", str(VOCAB + 1),
+        "--enc_layers", "1", "--dec_layers", "1", "--rnn_size", "48",
+        "--embd_dim", "16", "--dropout", "0.0",
+        "--global_attention", "mlp",
+        "--shared_encoder_model", model_dir,
+        "--optim", "adam", "--initial_lr", "0.005", "--final_lr", "0.005",
+        "--num_epochs", "4", "--num_batches_per_epoch", "3",
+    ])
+    las_dir = f"{d}/exp_las/model.epoch.3"
+    assert os.path.exists(f"{las_dir}/model.json")
+
+    # 7) decode with forward LAS rescoring
+    wer2 = eval_main([
+        model_dir, f"{d}/wav.scp", f"{d}/nbest_las.txt",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--ref_labels", f"ark:{d}/label.txt",
+        "--beam_size", "4", "--n_best", "4", "--max_symbols", "8",
+        "--SOS", "0", "--EOS", str(VOCAB),
+        "--las_rescorer_model", las_dir,
+        "--output_scores",
+    ])
+    assert wer2 is not None and wer2 < 0.3, f"WER with LAS rescoring too high: {wer2}"
