@@ -70,7 +70,22 @@ def _augment(pcm: np.ndarray, cfg: OtfLoaderConfig, rng: np.random.Generator,
              noise: Optional[List[np.ndarray]] = None) -> np.ndarray:
     """Speed + gain (+ optional noise) perturbation, returning int16-scale
     float32 — the exact chain of otf_utt_generator
-    (loader/otf_utt_loader.py:223-234)."""
+    (loader/otf_utt_loader.py:223-234).  Uses the native C++ DSP library
+    when built (pika_tpu/native, GIL released → real thread parallelism);
+    falls back to the numpy path otherwise."""
+    if cfg.augment and cfg.snr_range is None:
+        from pika_tpu import native as native_dsp
+
+        rate = cfg.speed_rates[int(rng.integers(0, len(cfg.speed_rates)))]
+        gain_lo, gain_hi = -cfg.gain_range[0], -cfg.gain_range[1]
+        target_db = float(rng.uniform(gain_lo, gain_hi))
+        nat = native_dsp.augment_i16(np.asarray(pcm, np.int16), rate, target_db)
+        if nat is not None:
+            return nat
+        x = seg.to_float32(pcm)
+        x = seg.change_speed(x, rate)
+        x = seg.normalize(x, target_db)
+        return seg.from_float32(x, "int16").astype(np.float32)
     x = seg.to_float32(pcm)
     if cfg.augment:
         rate = cfg.speed_rates[int(rng.integers(0, len(cfg.speed_rates)))]
