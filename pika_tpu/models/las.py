@@ -45,6 +45,7 @@ class LASConfig:
     brnn: bool = False
     dropout: float = 0.0
     attn_type: str = "mlp"              # 'dot' | 'general' | 'mlp'
+    rnn_type: str = "LSTM"              # 'LSTM' | 'SRU' (las.py:533-541)
     context_gate: Optional[str] = None  # None | 'source' | 'target' | 'both'
     use_downsampler: bool = False
     downsampler_layers: int = 1
@@ -87,8 +88,16 @@ class LAS(nn.Module):
     def setup(self):
         cfg = self.config
         h = cfg.rnn_size
-        self.encoder = LSTM(h, cfg.enc_layers, bidirectional=cfg.brnn,
-                            dropout_rate=cfg.dropout, name="encoder")
+        if cfg.rnn_type == "SRU":
+            from pika_tpu.models.sru import SRU as _SRU
+
+            dirs = 2 if cfg.brnn else 1
+            self.encoder = _SRU(cfg.input_dim, h // dirs, cfg.enc_layers,
+                                bidirectional=cfg.brnn,
+                                dropout_rate=cfg.dropout, name="encoder")
+        else:
+            self.encoder = LSTM(h, cfg.enc_layers, bidirectional=cfg.brnn,
+                                dropout_rate=cfg.dropout, name="encoder")
         self.enc_proj = nn.Dense(cfg.output_dim, name="enc_proj")
         if cfg.use_downsampler:
             self.downsampler = PyramidLSTM(
@@ -185,7 +194,17 @@ class LAS(nn.Module):
     # -- encoder ----------------------------------------------------------
 
     def encode(self, src, lengths=None, train: bool = False):
-        enc_out, hidden = self.encoder(src, lengths=lengths, deterministic=not train)
+        if self.config.rnn_type == "SRU":
+            # SRU has no packed-sequence support (las.py:536-537); state
+            # init for the decoder comes from the last c per layer.
+            enc_out, c = self.encoder(src, deterministic=not train)
+            layers = self.config.dec_layers
+            dirs = 2 if self.config.brnn else 1
+            h_like = jnp.tile(c[-1][None], (self.config.enc_layers * dirs, 1, 1))
+            h_like = h_like[..., : self.config.rnn_size // dirs]
+            hidden = (h_like, h_like)
+        else:
+            enc_out, hidden = self.encoder(src, lengths=lengths, deterministic=not train)
         ds_out, ds_hidden, ds_lengths = enc_out, hidden, lengths
         if self.config.use_downsampler:
             ds_out, ds_hidden, ds_lengths = self.downsampler(

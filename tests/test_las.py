@@ -100,3 +100,12 @@ def test_rerank_fusion():
     # candidate 0: (-10-1)/5 = -2.2 ; candidate 1: (-9-20)/10 = -2.9
     assert int(best[0]) == 0
     np.testing.assert_allclose(np.asarray(fused[0]), [-2.2, -2.9], rtol=1e-6)
+
+
+def test_las_sru_encoder(rng):
+    model, variables = init_las(K, _cfg(rnn_type="SRU"))
+    src = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, VOCAB, (2, 5)).astype(np.int32))
+    out, _, enc = model.apply(variables, src, tgt, jnp.asarray([10, 10]))
+    assert out.shape == (2, 4, 16)
+    assert enc.shape == (2, 10, 16)
