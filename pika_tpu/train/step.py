@@ -121,6 +121,15 @@ def transducer_loss(
     return losses.sum(), new_stats
 
 
+def cast_floats(tree, dtype):
+    """Cast float32 leaves to ``dtype`` (mixed-precision compute cast).
+    Gradients taken through this cast come back float32 automatically."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree,
+    )
+
+
 def make_train_step(
     model: Transducer,
     tx: optax.GradientTransformation,
@@ -130,6 +139,7 @@ def make_train_step(
     model_stride: int = 1,
     loss_chunk: int = 32,
     loss_backend: str = "auto",
+    compute_dtype=None,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -138,6 +148,11 @@ def make_train_step(
     shapes.  Returns (new_state, metrics) where metrics has the summed loss
     and total label count (the reference's per-frame loss normalizer,
     utils/logger.py).
+
+    ``compute_dtype=jnp.bfloat16`` runs the model forward/backward in bf16
+    (master params, optimizer state, and gradients stay float32; bf16's
+    float32-range exponent needs no loss scaling).  The loss DP itself
+    always runs in float32 inside the fused kernels.
     """
 
     def step_fn(state: TrainState, batch, key):
@@ -146,13 +161,21 @@ def make_train_step(
         enc_in_lens = feat_lens
 
         def loss_fn(params):
+            stats = state.batch_stats
+            f = feats
+            if compute_dtype is not None:
+                params = cast_floats(params, compute_dtype)
+                stats = cast_floats(stats, compute_dtype)
+                f = feats.astype(compute_dtype)
             loss, new_stats = transducer_loss(
-                model, params, state.batch_stats,
-                feats, enc_in_lens, batch["labels"], batch["label_lens"],
+                model, params, stats,
+                f, enc_in_lens, batch["labels"], batch["label_lens"],
                 train=True, dropout_key=kd,
                 loss_chunk=loss_chunk, loss_backend=loss_backend,
             )
-            return loss, new_stats
+            if compute_dtype is not None:
+                new_stats = cast_floats(new_stats, jnp.float32)
+            return loss.astype(jnp.float32), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

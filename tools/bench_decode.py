@@ -1,0 +1,70 @@
+"""Decode-throughput benchmark: batched beam search on the flagship model.
+
+Measures utterances/sec and RTF for the jitted beam search (the
+reference's eval_transducer path: 1 GPU, batch 2, beam 8 —
+egs/eval_transducer.sh:18-20).  Run on the real chip:
+
+    PYTHONPATH=. python tools/bench_decode.py [--batch 8] [--beam 8]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--beam", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--n_best", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--max_symbols", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pika_tpu.decode.beam import BeamConfig, beam_search_waveforms
+    from pika_tpu.features import FbankConfig
+    from pika_tpu.models import TransducerConfig, init_transducer
+    from pika_tpu.train import FeaturizerConfig, make_featurizer
+
+    sr = 16000
+    max_samples = int(sr * args.seconds)
+    fb = FbankConfig(sample_frequency=sr, window_type="hamming", dither=0.0,
+                     low_freq=40.0, high_freq=-200.0, num_mel_bins=80)
+    featurizer = make_featurizer(
+        FeaturizerConfig(fbank=fb, max_samples=max_samples, lctx=1, rctx=1, stride=1)
+    )
+    cfg = TransducerConfig(
+        input_dim=240, vocab_size=6268, hid_dim=1024,
+        encoder_type="tdnn_transformer", decoder_type="rnn",
+        enc_layers=9, dec_layers=2, embd_dim=100,
+        tdnn_nhid=1024, tdnn_layers=9,
+    )
+    model, variables = init_transducer(jax.random.PRNGKey(0), cfg, max_t=80, max_u=8)
+    bcfg = BeamConfig(beam_size=args.beam, n_best=args.n_best,
+                      sm_scale=1.2, max_symbols=args.max_symbols)
+
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray((rng.standard_normal((args.batch, max_samples)) * 4000).astype(np.float32))
+    lens = jnp.asarray(np.full(args.batch, max_samples, np.int32))
+
+    decode = jax.jit(lambda w, l: beam_search_waveforms(model, variables, featurizer, w, l, bcfg))
+    out = decode(wavs, lens)
+    jax.block_until_ready(out["scores"])
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out = decode(wavs, lens)
+    jax.block_until_ready(out["scores"])
+    dt = (time.perf_counter() - t0) / args.reps
+    utts = args.batch / dt
+    rtf = dt / (args.batch * args.seconds)
+    print(f"beam={args.beam} batch={args.batch}: {dt*1000:.1f} ms/batch, "
+          f"{utts:.2f} utt/s, RTF {rtf:.5f}")
+
+
+if __name__ == "__main__":
+    main()
