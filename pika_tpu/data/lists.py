@@ -14,7 +14,7 @@ minimizes the number of distinct (T, U) buckets, limiting recompiles.
 from __future__ import annotations
 
 import random
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 
 def _read_len_file(path: str, min_len: int, max_len: int) -> List[Tuple[str, int]]:

@@ -12,7 +12,6 @@ perl tools with one subcommand tool:
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 
@@ -54,8 +53,6 @@ def _cmd_cmvn(args):
     """Global CMVN over augmented fbank features (compute_global_cmvn.py):
     the same speed/gain perturbation + fbank chain as training, accumulated
     into Kaldi-format stats."""
-    import random as _random
-
     from pika_tpu.data import segment as seg
     from pika_tpu.data.archive import MrkSeqReader
     from pika_tpu.data.cmvn import CmvnStats

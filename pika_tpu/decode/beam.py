@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from pika_tpu.decode.fst import fst_advance_sets, fst_final_scores, init_state_sets
+from pika_tpu.decode.fst import fst_advance_sets, fst_final_scores
 from pika_tpu.models.transducer import Transducer
 
 NEG = -1.0e20

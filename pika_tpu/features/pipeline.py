@@ -9,7 +9,7 @@ the whole wave→features→model pipeline compiles into one XLA program.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Layer plan (rnnt_tdnn_transformer.py:44-57):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ prepended to targets before the prediction net, so dec output has U+1 steps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ XLA collectives over ICI replacing master-centric reduce+broadcast.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -14,8 +14,6 @@ import json
 import os
 from typing import Any, Optional, Tuple
 
-import jax
-
 import orbax.checkpoint as ocp
 
 from pika_tpu.models.las import LAS, LASConfig

@@ -25,7 +25,6 @@ from pika_tpu.decode.beam import BeamConfig, beam_search_waveforms
 from pika_tpu.decode.fst import compile_arpa, read_text_fst
 from pika_tpu.decode.rescore import las_score_hyps, rerank_nbest
 from pika_tpu.decode.wer import score_wer
-from pika_tpu.models.transducer import Transducer
 from pika_tpu.train import common
 from pika_tpu.train.bundle import load_bundle
 

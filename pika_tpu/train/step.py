@@ -13,8 +13,7 @@ host→device transfer per batch.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ from flax import struct
 from pika_tpu.features.fbank import FbankConfig, make_fbank_fn
 from pika_tpu.features.pipeline import (
     apply_cmvn,
-    model_output_len,
     spec_augment,
     splice,
     strided_len,

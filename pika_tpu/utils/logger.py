@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import List, Sequence
+from typing import Sequence
 
 
 class Logger:
