@@ -93,6 +93,13 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--loss_chunk", type=int, default=16)
     parser.add_argument("--loss_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="model compute precision (master params stay f32)")
+    # multi-host SPMD (one process per host; all hosts run the same command)
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=1)
+    parser.add_argument("--process_id", type=int, default=0)
 
 
 def fbank_from_args(args) -> FbankConfig:

@@ -90,6 +90,15 @@ def to_device_batch(batch):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.coordinator_address:
+        # multi-host SPMD (replaces torch.distributed.launch --nnodes,
+        # egs/train_transducer_mbr_bmuf_otfaug.sh:37): every host runs this
+        # same program; jax.distributed wires the pod/DCN topology.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     log_f = open(args.log.replace("WORKER-ID", "0"), "w")
@@ -120,9 +129,13 @@ def main(argv=None):
     )
 
     if args.dp_mode == "sync":
+        import jax.numpy as _jnp
+
+        cdt = _jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
         step = make_train_step(model, tx, featurizer,
                                loss_chunk=args.loss_chunk,
-                               loss_backend=args.loss_backend, donate=True)
+                               loss_backend=args.loss_backend,
+                               compute_dtype=cdt, donate=True)
         dp_step = jit_dp(step, mesh)
         state = replicate_tree(state, mesh)
 
