@@ -78,9 +78,12 @@ def batch_stream(args, loader_cfg, epoch: int):
     for i, lst in enumerate(lists):
         cfg_i = _dc.replace(loader_cfg, seed=loader_cfg.seed + 1000 * epoch + i)
         streams.append(dataloader(lst, cfg_i))
+    expected = loader_cfg.batch_size
     for batches in itertools.zip_longest(*streams):
         for b in batches:
-            if b is not None:
+            # drop ragged tail batches: SPMD sharding needs the batch axis
+            # divisible by the mesh (the reference's full_batch semantics)
+            if b is not None and len(b["uttids"]) == expected:
                 yield b
 
 
@@ -145,7 +148,11 @@ def main(argv=None):
             for batch in batch_stream(args, loader_cfg, epoch):
                 key, sub = jax.random.split(key)
                 state, metrics = dp_step(state, shard_batch(to_device_batch(batch), mesh), sub)
-                logger.update_and_log(int(metrics["num_labels"]), [float(metrics["loss"])])
+                loss_val = float(metrics["loss"])
+                if loss_val != loss_val:  # NaN health check (bmuf.py:89-90)
+                    log_f.write("NaN loss detected — stopping\n")
+                    sys.exit(1)
+                logger.update_and_log(int(metrics["num_labels"]), [loss_val])
             logger.summarize_and_log()
             return state
 
