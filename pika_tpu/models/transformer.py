@@ -66,12 +66,18 @@ def relative_positions_matrix(length: int, max_relative_positions: int) -> jnp.n
 
 
 class MultiHeadedAttention(nn.Module):
-    """Scaled dot-product MHA; ``mask`` is (B, Tq, Tk) bool, True = disallow."""
+    """Scaled dot-product MHA; ``mask`` is (B, Tq, Tk) bool, True = disallow.
+
+    The attention matmuls run in ``mm_dtype`` (bf16 by default — the MXU's
+    native mode, ~2x f32 throughput) with float32 score accumulation and a
+    float32 softmax; set ``mm_dtype=None`` for full f32.
+    """
 
     head_count: int
     model_dim: int
     dropout_rate: float = 0.1
     max_relative_positions: int = 0
+    mm_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(
@@ -88,13 +94,14 @@ class MultiHeadedAttention(nn.Module):
         tk = key.shape[1]
 
         def split_heads(x):
-            return x.reshape(x.shape[0], x.shape[1], h, d_head).transpose(0, 2, 1, 3)
+            x = x.reshape(x.shape[0], x.shape[1], h, d_head).transpose(0, 2, 1, 3)
+            return x.astype(self.mm_dtype) if self.mm_dtype is not None else x
 
         k = split_heads(nn.Dense(dim, name="linear_keys")(key))
         v = split_heads(nn.Dense(dim, name="linear_values")(value))
         q = split_heads(nn.Dense(dim, name="linear_query")(query))
 
-        q = q / math.sqrt(d_head)
+        q = q / jnp.asarray(math.sqrt(d_head), q.dtype)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
 
         if self.max_relative_positions > 0 and tq == tk:
@@ -108,8 +115,8 @@ class MultiHeadedAttention(nn.Module):
 
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, dim)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+        ctx = ctx.astype(query.dtype).transpose(0, 2, 1, 3).reshape(b, tq, dim)
         return nn.Dense(dim, name="final_linear")(ctx)
 
 
