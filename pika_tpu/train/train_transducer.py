@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_loader_args(parser)
     common.add_model_args(parser)
     common.add_train_args(parser)
+    parser.add_argument("--valid_data_lst", type=str, default=None,
+                        help="held-out data list; evaluated after each epoch")
+    parser.add_argument("--save_every_n_batches", type=int, default=0,
+                        help="periodic temp checkpoint (0 = per-epoch only)")
     return parser
 
 
@@ -145,7 +149,7 @@ def main(argv=None):
         def run_epoch(epoch, state):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
             key = jax.random.PRNGKey(args.seed + epoch)
-            for batch in batch_stream(args, loader_cfg, epoch):
+            for i, batch in enumerate(batch_stream(args, loader_cfg, epoch)):
                 key, sub = jax.random.split(key)
                 state, metrics = dp_step(state, shard_batch(to_device_batch(batch), mesh), sub)
                 loss_val = float(metrics["loss"])
@@ -153,6 +157,9 @@ def main(argv=None):
                     log_f.write("NaN loss detected — stopping\n")
                     sys.exit(1)
                 logger.update_and_log(int(metrics["num_labels"]), [loss_val])
+                if args.save_every_n_batches and (i + 1) % args.save_every_n_batches == 0:
+                    save_bundle(f"{args.output_dir}/model.tmp", "transducer", cfg,
+                                {"params": jax.device_get(state.params)})
             logger.summarize_and_log()
             return state
 
@@ -208,19 +215,45 @@ def main(argv=None):
             logger.summarize_and_log()
             return bstate_
 
+    from pika_tpu.train.step import make_eval_step
+
+    eval_step = make_eval_step(model, featurizer) if args.valid_data_lst else None
+
+    def run_validation(params, batch_stats, epoch):
+        vstate = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                            opt_state=None, batch_stats=batch_stats)
+        tot_loss = tot_labels = 0.0
+        vargs_cfg = loader_cfg
+        import dataclasses as _dc
+        vargs_cfg = _dc.replace(loader_cfg, augment=False)
+        import copy as _copy
+        vargs = _copy.copy(args)
+        vargs.data_lst = args.valid_data_lst
+        for batch in batch_stream(vargs, vargs_cfg, 0):
+            m = eval_step(vstate, to_device_batch(batch))
+            tot_loss += float(m["loss"])
+            tot_labels += float(m["num_labels"])
+        log_f.write(f"===> Epoch {epoch} valid loss/label: "
+                    f"{tot_loss / max(tot_labels, 1.0):.4f} <===\n")
+        log_f.flush()
+
     for epoch in range(args.num_epochs):
         log_f.write(f"===> Epoch {epoch} <===\n")
         log_f.flush()
         if args.dp_mode == "sync":
             state = run_epoch(epoch, state)
             params_out = jax.device_get(state.params)
+            stats_out = jax.device_get(state.batch_stats)
         else:
             bstate = run_epoch(epoch, bstate)
             params_out = jax.device_get(bstate.params)
+            stats_out = None
         save_bundle(
             f"{args.output_dir}/model.epoch.{epoch}", "transducer", cfg,
             {"params": params_out}, metadata={"epoch": epoch},
         )
+        if eval_step is not None:
+            run_validation(params_out, stats_out, epoch)
     log_f.write("Training Finished\n")
     log_f.close()
 

@@ -85,7 +85,11 @@ def test_full_recipe(tmp_path, rng):
         "--grad_clip", "3.0", "--num_epochs", "30",
         "--num_batches_per_epoch", "3",
         "--dp_mode", "sync", "--num_devices", "2", "--batch_size", "4",
+        "--valid_data_lst", f"{d}/data.lst",
+        "--save_every_n_batches", "2",
     ])
+    assert os.path.exists(f"{d}/exp/model.tmp/model.json")
+    assert "valid loss/label" in open(f"{d}/train.log").read()
     model_dir = f"{d}/exp/model.epoch.29"
     assert os.path.exists(f"{model_dir}/model.json")
 
