@@ -165,6 +165,7 @@ def make_bmuf_round(
     cfg: BMUFConfig,
     mesh: Mesh,
     axis: str = "data",
+    reduce_extra: bool = False,
 ):
     """Build the jitted BMUF round: ``sync_period`` local steps + one sync.
 
@@ -173,6 +174,11 @@ def make_bmuf_round(
     ``local_opt_init(params)`` creates a fresh local optimizer state each
     round (the reference re-creates SGD per sync period,
     trainer/train_transducer_bmuf_otfaug.py:121-123).
+
+    ``local_extra`` carries auxiliary per-device training state (e.g.
+    BatchNorm running statistics — which the reference never syncs, each
+    GPU keeping its own); with ``reduce_extra`` its float leaves are
+    pmean'd at each sync so all replicas agree.
 
     ``batches`` passed to the returned function have leading axes
     [sync_period, global_batch, ...]; the batch axis is sharded over the
@@ -217,6 +223,12 @@ def make_bmuf_round(
             new_state = jax.tree.map(
                 lambda new, old: jnp.where(ok, new, old), new_state, bmuf_state
             )
+            if reduce_extra and local_extra2 is not None:
+                local_extra2 = jax.tree.map(
+                    lambda x: jax.lax.pmean(x, axis_name=axis)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    local_extra2,
+                )
             metrics = jax.tree.map(partial(jax.lax.pmean, axis_name=axis), metrics)
             return new_state, local_extra2, ok, metrics
 

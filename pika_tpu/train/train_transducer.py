@@ -159,7 +159,8 @@ def main(argv=None):
                 logger.update_and_log(int(metrics["num_labels"]), [loss_val])
                 if args.save_every_n_batches and (i + 1) % args.save_every_n_batches == 0:
                     save_bundle(f"{args.output_dir}/model.tmp", "transducer", cfg,
-                                {"params": jax.device_get(state.params)})
+                                _variables_out(jax.device_get(state.params),
+                                               jax.device_get(state.batch_stats)))
             logger.summarize_and_log()
             return state
 
@@ -170,28 +171,30 @@ def main(argv=None):
             sync_period=args.sync_period,
         )
         bstate = bmuf_init(state.params, bcfg)
+        bn_stats = variables.get("batch_stats")
 
-        def local_step(params, opt_state, extra, lbatch, key):
+        def local_step(params, opt_state, stats, lbatch, key):
             kf, kd = jax.random.split(key)
             feats, feat_lens = featurizer(kf, lbatch["wavs"], lbatch["wav_lens"], True)
 
             def loss_fn(p):
-                loss, _ = transducer_loss(
-                    model, p, None, feats, feat_lens,
+                return transducer_loss(
+                    model, p, stats, feats, feat_lens,
                     lbatch["labels"], lbatch["label_lens"], train=True,
                     dropout_key=kd, loss_chunk=args.loss_chunk,
                     loss_backend=args.loss_backend,
                 )
-                return loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, extra, {
+            return params, opt_state, new_stats, {
                 "loss": loss, "num_labels": lbatch["label_lens"].sum(),
             }
 
-        round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh)
+        round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh, reduce_extra=True)
+
+        stats_box = [bn_stats]
 
         def run_epoch(epoch, bstate_):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
@@ -203,7 +206,9 @@ def main(argv=None):
                     # pad batches to a common bucket before stacking
                     stacked = _stack_batches(pending)
                     key, sub = jax.random.split(key)
-                    bstate_, _, ok, metrics = round_fn(bstate_, (), stacked, sub)
+                    nonlocal_stats = stats_box[0]
+                    bstate_, new_stats, ok, metrics = round_fn(bstate_, nonlocal_stats, stacked, sub)
+                    stats_box[0] = new_stats
                     if not bool(ok):
                         log_f.write("NaN detected in BMUF sync — stopping\n")
                         sys.exit(1)
@@ -247,15 +252,22 @@ def main(argv=None):
         else:
             bstate = run_epoch(epoch, bstate)
             params_out = jax.device_get(bstate.params)
-            stats_out = None
+            stats_out = jax.device_get(stats_box[0]) if stats_box[0] is not None else None
         save_bundle(
             f"{args.output_dir}/model.epoch.{epoch}", "transducer", cfg,
-            {"params": params_out}, metadata={"epoch": epoch},
+            _variables_out(params_out, stats_out), metadata={"epoch": epoch},
         )
         if eval_step is not None:
             run_validation(params_out, stats_out, epoch)
     log_f.write("Training Finished\n")
     log_f.close()
+
+
+def _variables_out(params, batch_stats=None):
+    out = {"params": params}
+    if batch_stats is not None:
+        out["batch_stats"] = batch_stats
+    return out
 
 
 def _stack_batches(batches):
