@@ -41,6 +41,12 @@ def add_loader_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--speed_rate", type=str, default="0.9,1.0,1.1")
     parser.add_argument("--no_augment", action="store_true",
                         help="disable speed/gain perturbation")
+    parser.add_argument("--noise_lst", type=str, default=None,
+                        help="mrk/seq list of noise segments for on-the-fly mixing")
+    parser.add_argument("--rir_lst", type=str, default=None,
+                        help="mrk/seq list of room impulse responses (hook)")
+    parser.add_argument("--snr_range", type=str, default="",
+                        help="comma separated SNR range in dB, e.g. 0,20")
     parser.add_argument("--max_wav_seconds", type=float, default=20.0,
                         help="largest waveform bucket in seconds")
 
@@ -118,8 +124,13 @@ def loader_cfg_from_args(args, batch_size: Optional[int] = None) -> OtfLoaderCon
     speeds = tuple(float(s) for s in args.speed_rate.split(","))
     max_samples = int(args.max_wav_seconds * args.sample_rate)
     buckets = tuple(int(max_samples * f) for f in (0.25, 0.5, 0.75, 1.0))
+    snr = None
+    if getattr(args, "snr_range", ""):
+        lo, hi = (float(x) for x in args.snr_range.split(","))
+        snr = (lo, hi)
     return OtfLoaderConfig(
         batch_size=batch_size or args.batch_size,
+        snr_range=snr,
         sample_rate=args.sample_rate,
         frame_length=fb.frame_length,
         frame_shift=fb.frame_shift,
@@ -175,3 +186,22 @@ def expand_worker_lists(data_lst: str, n: int):
     if "WORKER-ID" not in data_lst:
         return [data_lst]
     return [data_lst.replace("WORKER-ID", str(i)) for i in range(n)]
+
+
+def load_noise_segments(noise_lst: Optional[str]):
+    """Load noise (or RIR) waveforms from an mrk/seq list file — the
+    reference's rir/noise hook (train_transducer:276-288)."""
+    if not noise_lst:
+        return None
+    from pika_tpu.data import segment as seg
+    from pika_tpu.data.archive import MrkSeqReader
+    from pika_tpu.data.scp import read_data_lst
+
+    out = []
+    for entry in read_data_lst(noise_lst) or [
+        tuple(line.split()[:2]) + ("",) for line in open(noise_lst)
+    ]:
+        with MrkSeqReader(entry[0], entry[1]) as reader:
+            for _, pcm in reader:
+                out.append(seg.to_float32(pcm))
+    return out

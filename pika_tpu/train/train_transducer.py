@@ -73,15 +73,17 @@ def make_model(args, input_dim):
     return model, variables, cfg
 
 
-def batch_stream(args, loader_cfg, epoch: int):
+def batch_stream(args, loader_cfg, epoch: int, noise=None):
     """Merged stream over (possibly WORKER-ID-expanded) data lists."""
     import dataclasses as _dc
 
+    if noise is None:
+        noise = common.load_noise_segments(getattr(args, "noise_lst", None))
     lists = common.expand_worker_lists(args.data_lst, args.num_devices or jax.device_count())
     streams = []
     for i, lst in enumerate(lists):
         cfg_i = _dc.replace(loader_cfg, seed=loader_cfg.seed + 1000 * epoch + i)
-        streams.append(dataloader(lst, cfg_i))
+        streams.append(dataloader(lst, cfg_i, noise=noise))
     expected = loader_cfg.batch_size
     for batches in itertools.zip_longest(*streams):
         for b in batches:
