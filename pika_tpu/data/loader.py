@@ -67,13 +67,14 @@ def _bucket(value: int, ladder: Sequence[int]) -> Optional[int]:
 
 
 def _augment(pcm: np.ndarray, cfg: OtfLoaderConfig, rng: np.random.Generator,
-             noise: Optional[List[np.ndarray]] = None) -> np.ndarray:
+             noise: Optional[List[np.ndarray]] = None,
+             rir: Optional[List[np.ndarray]] = None) -> np.ndarray:
     """Speed + gain (+ optional noise) perturbation, returning int16-scale
     float32 — the exact chain of otf_utt_generator
     (loader/otf_utt_loader.py:223-234).  Uses the native C++ DSP library
     when built (pika_tpu/native, GIL released → real thread parallelism);
     falls back to the numpy path otherwise."""
-    if cfg.augment and cfg.snr_range is None:
+    if cfg.augment and cfg.snr_range is None and not rir:
         from pika_tpu import native as native_dsp
 
         rate = cfg.speed_rates[int(rng.integers(0, len(cfg.speed_rates)))]
@@ -99,12 +100,16 @@ def _augment(pcm: np.ndarray, cfg: OtfLoaderConfig, rng: np.random.Generator,
                 import random as _random
 
                 x = seg.add_noise(x, cfg.sample_rate, n, snr, rng=_random.Random(int(rng.integers(1 << 30))))
+        if rir:
+            # RIR convolution keeping average power (the reference's
+            # commented hook, otf_utt_loader.py:248-249)
+            x = seg.convolve_and_normalize(x, rir[int(rng.integers(0, len(rir)))])
     # round-trip through int16 like the reference feeding Kaldi fbank
     return seg.from_float32(x, "int16").astype(np.float32)
 
 
 def _utt_generator(triplets, cfg: OtfLoaderConfig, rng: np.random.Generator,
-                   noise=None) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
+                   noise=None, rir=None) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
     for mrk_fn, seq_fn, ali_rspec in triplets:
         labels = dict(iter_int_vectors(ali_rspec))
         with MrkSeqReader(mrk_fn, seq_fn) as reader:
@@ -118,11 +123,11 @@ def _utt_generator(triplets, cfg: OtfLoaderConfig, rng: np.random.Generator,
                     ali = np.concatenate(([cfg.sos], ali)).astype(np.int32)
                 if cfg.eos >= 0:
                     ali = np.concatenate((ali, [cfg.eos])).astype(np.int32)
-                wav = _augment(pcm, cfg, rng, noise)
+                wav = _augment(pcm, cfg, rng, noise, rir)
                 yield uttid, wav, ali
 
 
-def _batch_generator(triplets, cfg: OtfLoaderConfig, rng, noise=None):
+def _batch_generator(triplets, cfg: OtfLoaderConfig, rng, noise=None, rir=None):
     buf: List[Tuple[str, np.ndarray, np.ndarray]] = []
     count = 0
 
@@ -150,7 +155,7 @@ def _batch_generator(triplets, cfg: OtfLoaderConfig, rng, noise=None):
             "labels": labels, "label_lens": label_lens, "uttids": uttids,
         }
 
-    for uttid, wav, ali in _utt_generator(triplets, cfg, rng, noise):
+    for uttid, wav, ali in _utt_generator(triplets, cfg, rng, noise, rir):
         count += 1
         frames = _n_frames(len(wav), cfg)
         utt_len = -(-frames // cfg.stride)
@@ -159,7 +164,11 @@ def _batch_generator(triplets, cfg: OtfLoaderConfig, rng, noise=None):
         fits = _bucket(len(wav), cfg.wav_buckets) is not None and _bucket(len(ali), cfg.label_buckets) is not None
         if frames_ok and tu_ok and fits and len(ali) > 0:
             buf.append((uttid, wav, ali))
-        if count % cfg.batch_size == 0:
+        # flush on ACCEPTED count (not seen count, contrast
+        # otf_utt_loader.py:256): filtered utterances top up from the
+        # stream instead of shrinking the batch, so every batch except the
+        # tail is full — required by SPMD sharding of the batch axis.
+        if len(buf) == cfg.batch_size:
             out = flush(buf)
             buf = []
             if out is not None:
@@ -169,7 +178,7 @@ def _batch_generator(triplets, cfg: OtfLoaderConfig, rng, noise=None):
         yield out
 
 
-def dataloader(data_lst: str, cfg: OtfLoaderConfig, noise=None) -> Iterator[dict]:
+def dataloader(data_lst: str, cfg: OtfLoaderConfig, noise=None, rir=None) -> Iterator[dict]:
     """Threaded batch stream over a data .lst of mrk/seq/label triplets,
     mirroring the reference's worker-thread + bounded-queue structure
     (loader/otf_utt_loader.py:139-163)."""
@@ -181,7 +190,7 @@ def dataloader(data_lst: str, cfg: OtfLoaderConfig, noise=None) -> Iterator[dict
     def worker(idx: int):
         rng = np.random.default_rng(cfg.seed + idx)
         try:
-            for batch in _batch_generator(shards[idx], cfg, rng, noise):
+            for batch in _batch_generator(shards[idx], cfg, rng, noise, rir):
                 q.put(batch)
         finally:
             q.put(None)

@@ -35,13 +35,16 @@ def _parse_riff(data: bytes) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == _EXTENSIBLE and len(body) >= 26:
+                # the sub-format GUID's first two bytes carry the real tag
+                (sub_format,) = struct.unpack("<H", body[24:26])
+                fmt = (sub_format,) + fmt[1:]
         elif chunk_id == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
             audio_format, channels, rate, _, _, bits = fmt
-            if audio_format == _EXTENSIBLE and chunk_size >= 0:
-                # sub-format GUID's first two bytes carry the real format
-                audio_format = _PCM  # most common; float handled by bits probe
+            if audio_format == _EXTENSIBLE:
+                raise ValueError("extensible WAV without readable sub-format")
             if audio_format == _PCM:
                 if bits == 16:
                     arr = np.frombuffer(body, dtype="<i2")

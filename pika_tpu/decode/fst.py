@@ -219,10 +219,9 @@ def compile_arpa(
             if w == "</s>":
                 finals[src] = min(finals.get(src, float(INF)), weight)
                 continue
-            if n < order and bow is not None or n < order:
-                dst = get_state(words if n < order else words[1:])
-            else:
-                dst = get_state(words[1:])  # highest order: drop oldest word
+            # lower orders land on the full-context state; the highest
+            # order has no state of its own and drops the oldest word
+            dst = get_state(words if n < order else words[1:])
             if w not in symbol_to_id:
                 continue
             arcs.setdefault(src, []).append((symbol_to_id[w], weight, dst))

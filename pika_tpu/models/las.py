@@ -180,7 +180,8 @@ class LAS(nn.Module):
             return jnp.tanh(proj_tgt + z * proj_src)
         if mode == "target":
             return jnp.tanh(z * proj_tgt + proj_src)
-        return jnp.tanh(z * proj_tgt + (1.0 - z) * proj_src)
+        # BothContextGate: tanh((1-z)*target + z*source) (context_gate.py:86-88)
+        return jnp.tanh((1.0 - z) * proj_tgt + z * proj_src)
 
     def _cells(self, x, h, c):
         new_h, new_c = [], []

@@ -290,7 +290,9 @@ def _bwd_w_kernel(labels_ref,
         z = jax.lax.dot_general(
             h, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) + b2[None, :]
-        p = jnp.exp(z - lse_ref[0, u, :][:, None])
+        # clamp like _bwd_in_kernel: padded rows carry lse = 0, so an
+        # unclamped exp can overflow to inf and 0*inf = NaN poisons dW2
+        p = jnp.exp(jnp.minimum(z - lse_ref[0, u, :][:, None], 40.0))
         dz = dl_ref[0, u, :][:, None] * p
         dz = jnp.where(col0 == 0, dz + db_ref[0, u, :][:, None], dz)
         label = labels_ref[b, ui * block_u + u]

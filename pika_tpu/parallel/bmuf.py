@@ -180,6 +180,12 @@ def make_bmuf_round(
     GPU keeping its own); with ``reduce_extra`` its float leaves are
     pmean'd at each sync so all replicas agree.
 
+    The returned round function takes a ``step_count`` scalar (global
+    batches processed so far): the fresh local optimizer state is
+    fast-forwarded to it, so LR schedules keep advancing across rounds —
+    the reference recomputes the LR from the global batch count at every
+    sync (train_transducer_bmuf_otfaug.py:115-123).
+
     ``batches`` passed to the returned function have leading axes
     [sync_period, global_batch, ...]; the batch axis is sharded over the
     mesh.  Returns (new_bmuf_state, local_extra, ok_flag, metrics).
@@ -188,11 +194,23 @@ def make_bmuf_round(
     state_spec = P()
     batch_spec = P(None, axis)
 
-    def round_fn(bmuf_state: BMUFState, local_extra, batches, key):
-        def device_fn(bmuf_state, local_extra, batches, key):
+    import optax.tree_utils as otu
+
+    def round_fn(bmuf_state: BMUFState, local_extra, batches, key, step_count=0):
+        step_count = jnp.asarray(step_count, jnp.int32)
+
+        def device_fn(bmuf_state, local_extra, batches, key, step_count):
             my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
             params0 = bmuf_state.params
             opt_state = local_opt_init(params0)
+            try:
+                cur = otu.tree_get(opt_state, "count")
+                if cur is not None:
+                    opt_state = otu.tree_set(
+                        opt_state, count=step_count.astype(cur.dtype)
+                    )
+            except KeyError:
+                pass  # optimizer without a schedule count
 
             def one(carry, batch):
                 params, opt_state, extra, k = carry
@@ -235,10 +253,10 @@ def make_bmuf_round(
         return shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(state_spec, state_spec, batch_spec, state_spec),
+            in_specs=(state_spec, state_spec, batch_spec, state_spec, state_spec),
             out_specs=(state_spec, state_spec, state_spec, state_spec),
             check_vma=False,
-        )(bmuf_state, local_extra, batches, key)
+        )(bmuf_state, local_extra, batches, key, step_count)
 
     return jax.jit(round_fn)
 

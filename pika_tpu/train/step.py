@@ -120,10 +120,13 @@ def transducer_loss(
 
 
 def cast_floats(tree, dtype):
-    """Cast float32 leaves to ``dtype`` (mixed-precision compute cast).
-    Gradients taken through this cast come back float32 automatically."""
+    """Cast floating-point leaves to ``dtype`` (mixed-precision compute
+    cast in either direction).  Gradients taken through this cast come
+    back in the original dtype automatically."""
     return jax.tree.map(
-        lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
         tree,
     )
 
@@ -132,13 +135,11 @@ def make_train_step(
     model: Transducer,
     tx: optax.GradientTransformation,
     featurizer: Callable,
-    model_lctx: int = 0,
-    model_rctx: int = 0,
-    model_stride: int = 1,
     loss_chunk: int = 32,
     loss_backend: str = "auto",
     compute_dtype=None,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted train step.
 
@@ -189,6 +190,8 @@ def make_train_step(
         }
         return new_state, metrics
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

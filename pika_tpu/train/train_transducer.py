@@ -73,17 +73,19 @@ def make_model(args, input_dim):
     return model, variables, cfg
 
 
-def batch_stream(args, loader_cfg, epoch: int, noise=None):
+def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
     """Merged stream over (possibly WORKER-ID-expanded) data lists."""
     import dataclasses as _dc
 
     if noise is None:
         noise = common.load_noise_segments(getattr(args, "noise_lst", None))
+    if rir is None:
+        rir = common.load_noise_segments(getattr(args, "rir_lst", None))
     lists = common.expand_worker_lists(args.data_lst, args.num_devices or jax.device_count())
     streams = []
     for i, lst in enumerate(lists):
         cfg_i = _dc.replace(loader_cfg, seed=loader_cfg.seed + 1000 * epoch + i)
-        streams.append(dataloader(lst, cfg_i, noise=noise))
+        streams.append(dataloader(lst, cfg_i, noise=noise, rir=rir))
     expected = loader_cfg.batch_size
     for batches in itertools.zip_longest(*streams):
         for b in batches:
@@ -144,7 +146,7 @@ def main(argv=None):
         step = make_train_step(model, tx, featurizer,
                                loss_chunk=args.loss_chunk,
                                loss_backend=args.loss_backend,
-                               compute_dtype=cdt, donate=True)
+                               compute_dtype=cdt, donate=True, jit=False)
         dp_step = jit_dp(step, mesh)
         state = replicate_tree(state, mesh)
 
@@ -197,6 +199,7 @@ def main(argv=None):
         round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh, reduce_extra=True)
 
         stats_box = [bn_stats]
+        step_box = [0]
 
         def run_epoch(epoch, bstate_):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
@@ -209,8 +212,11 @@ def main(argv=None):
                     stacked = _stack_batches(pending)
                     key, sub = jax.random.split(key)
                     nonlocal_stats = stats_box[0]
-                    bstate_, new_stats, ok, metrics = round_fn(bstate_, nonlocal_stats, stacked, sub)
+                    bstate_, new_stats, ok, metrics = round_fn(
+                        bstate_, nonlocal_stats, stacked, sub, step_box[0]
+                    )
                     stats_box[0] = new_stats
+                    step_box[0] += args.sync_period
                     if not bool(ok):
                         log_f.write("NaN detected in BMUF sync — stopping\n")
                         sys.exit(1)
