@@ -53,6 +53,9 @@ def build_parser():
     parser.add_argument("--las_fw_score_scale", type=float, default=0.3)
     parser.add_argument("--las_bw_score_scale", type=float, default=0.7)
     parser.add_argument("--output_scores", action="store_true")
+    parser.add_argument("--min_len", type=int, default=0,
+                        help="minimum feature frames; short utterances are "
+                             "edge-padded (decode_transducer.py:114-120)")
     parser.add_argument("--cmvn_stats", type=str, default=None)
     parser.add_argument("--cmn", action="store_true")
     common.add_loader_args(parser)
@@ -110,10 +113,16 @@ def main(argv=None):
             chunk = uttids[i0 : i0 + bsz]
             wavs = np.zeros((len(chunk), max_samples), np.float32)
             lens = np.zeros(len(chunk), np.int32)
+            min_samples = 0
+            if args.min_len > 0:
+                # frames = 1 + (n - frame_len)//shift → invert for min_len
+                min_samples = (args.min_len - 1) * 160 + 400
             for i, uttid in enumerate(chunk):
                 pcm, rate = read_wav(scp[uttid])
                 x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
                 x = x[:max_samples]
+                if len(x) < min_samples:
+                    x = np.pad(x, (0, min_samples - len(x)), mode="edge")
                 wavs[i, : len(x)] = x
                 lens[i] = len(x)
                 total_audio += len(x) / rate

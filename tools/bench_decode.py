@@ -52,13 +52,20 @@ def main():
     wavs = jnp.asarray((rng.standard_normal((args.batch, max_samples)) * 4000).astype(np.float32))
     lens = jnp.asarray(np.full(args.batch, max_samples, np.int32))
 
-    decode = jax.jit(lambda w, l: beam_search_waveforms(model, variables, featurizer, w, l, bcfg))
-    out = decode(wavs, lens)
-    jax.block_until_ready(out["scores"])
+    # dependency-chained timing: some PJRT transports short-circuit
+    # repeated identical dispatches, so each iteration must consume the
+    # previous result
+    @jax.jit
+    def run(vs, w):
+        def body(carry, _):
+            out = beam_search_waveforms(model, vs, featurizer, carry, lens, bcfg)
+            return carry + out["scores"].sum() * 1e-20, out["scores"].sum()
+        _, outs = jax.lax.scan(body, w, None, length=args.reps)
+        return outs.sum()
+
+    float(run(variables, wavs))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out = decode(wavs, lens)
-    jax.block_until_ready(out["scores"])
+    float(run(variables, wavs))
     dt = (time.perf_counter() - t0) / args.reps
     utts = args.batch / dt
     rtf = dt / (args.batch * args.seconds)
