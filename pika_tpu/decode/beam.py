@@ -90,8 +90,7 @@ def beam_search(
     best-first; padding token is -1.  ``aligns`` is the full emission
     sequence including blanks — the MBR trainer\'s lattice path
     (train_transducer_mbr_bmuf_otfaug.py:213-228)."""
-    if model.config.decoder_type != "rnn":
-        raise NotImplementedError("beam_search requires an RNN prediction net")
+    is_rnn = model.config.decoder_type == "rnn"
     b, t_max, _ = enc_out.shape
     k = cfg.beam_size
     n = cfg.n_best
@@ -104,12 +103,25 @@ def beam_search(
     def predict_step(tok, state):
         return model.apply(variables, tok, state, method=Transducer.predict_step)
 
+    def predict_prefix(tokens, lens):
+        """Transformer prediction net: full-prefix re-forward, state at the
+        last position (transducer_decoder.py:152-171)."""
+        dec = model.apply(variables, tokens, lens, method=Transducer.predict)
+        return jnp.take_along_axis(dec, lens[:, None, None], axis=1)[:, 0, :]
+
     def joint_step(enc_hid, dec_hid):
         return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
 
     # init: every beam consumed SOS(=blank); beam 0 live, others NEG
-    zero_state = (jnp.zeros((layers, b * k, hid)), jnp.zeros((layers, b * k, hid)))
-    dec_hid0, (h0, c0) = predict_step(jnp.zeros((b * k,), jnp.int32), zero_state)
+    if is_rnn:
+        zero_state = (jnp.zeros((layers, b * k, hid)), jnp.zeros((layers, b * k, hid)))
+        dec_hid0, (h0, c0) = predict_step(jnp.zeros((b * k,), jnp.int32), zero_state)
+    else:
+        # unused placeholder state, shaped like the RNN one for reshapes
+        h0 = c0 = jnp.zeros((layers, b * k, hid))
+        dec_hid0 = predict_prefix(
+            jnp.zeros((b * k, um), jnp.int32), jnp.zeros((b * k,), jnp.int32)
+        )
 
     if use_lm:
         fst_states0 = jnp.full((b, k, cfg.max_fst_states), -1, jnp.int32)
@@ -241,14 +253,20 @@ def beam_search(
         t_idx = jnp.where(emit, t_idx, t_idx + 1)
 
         # prediction-net advance for emitting beams only
-        new_hid, (nh, nc) = predict_step(
-            tok.reshape(b * k),
-            (dec_h.reshape(layers, b * k, hid), dec_c.reshape(layers, b * k, hid)),
-        )
         keep = emit.reshape(b * k)[:, None]
+        if is_rnn:
+            new_hid, (nh, nc) = predict_step(
+                tok.reshape(b * k),
+                (dec_h.reshape(layers, b * k, hid), dec_c.reshape(layers, b * k, hid)),
+            )
+            dec_h = jnp.where(keep[None], nh, dec_h.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
+            dec_c = jnp.where(keep[None], nc, dec_c.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
+        else:
+            new_hid = predict_prefix(
+                jnp.clip(tokens, 0, None).reshape(b * k, um),
+                lens.reshape(b * k),
+            )
         dec_hid = jnp.where(keep, new_hid, dec_hid.reshape(b * k, hid)).reshape(b, k, hid)
-        dec_h = jnp.where(keep[None], nh, dec_h.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
-        dec_c = jnp.where(keep[None], nc, dec_c.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
 
         lm_scores = lm_prev
         if use_lm:

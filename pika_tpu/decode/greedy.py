@@ -33,8 +33,7 @@ def greedy_decode(
     Returns (hyps (B, max_symbols) int32 padded with -1, hyp_lens (B,)).
     Requires an RNN (LSTM) prediction network.
     """
-    if model.config.decoder_type != "rnn":
-        raise NotImplementedError("greedy_decode requires an RNN prediction net")
+    is_rnn = model.config.decoder_type == "rnn"
     b, t_max, _ = enc_out.shape
     layers = model.config.dec_layers
     hid = model.config.hid_dim
@@ -42,13 +41,23 @@ def greedy_decode(
     def predict_step(tok, state):
         return model.apply(variables, tok, state, method=Transducer.predict_step)
 
+    def predict_prefix(tokens, lens):
+        dec = model.apply(variables, tokens, lens, method=Transducer.predict)
+        return jnp.take_along_axis(dec, lens[:, None, None], axis=1)[:, 0, :]
+
     def joint_step(enc_hid, dec_hid):
         return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
 
     # init: prediction net consumed SOS (= blank 0), like blk_sos init
     # (decoder/transducer_decoder.py:103,116-121)
-    zero_state = (jnp.zeros((layers, b, hid)), jnp.zeros((layers, b, hid)))
-    dec_hid0, state0 = predict_step(jnp.zeros((b,), jnp.int32), zero_state)
+    if is_rnn:
+        zero_state = (jnp.zeros((layers, b, hid)), jnp.zeros((layers, b, hid)))
+        dec_hid0, state0 = predict_step(jnp.zeros((b,), jnp.int32), zero_state)
+    else:
+        state0 = (jnp.zeros((layers, b, hid)), jnp.zeros((layers, b, hid)))
+        dec_hid0 = predict_prefix(
+            jnp.zeros((b, max_symbols), jnp.int32), jnp.zeros((b,), jnp.int32)
+        )
 
     max_steps = t_max + max_symbols
 
@@ -75,13 +84,16 @@ def greedy_decode(
         )
         hyp_len = jnp.where(emit, hyp_len + 1, hyp_len)
         # advance prediction net only for emitting rows
-        new_dec_hid, (new_h, new_c) = predict_step(tok, state)
         keep = emit[:, None]
+        if is_rnn:
+            new_dec_hid, (new_h, new_c) = predict_step(tok, state)
+            state = (
+                jnp.where(keep[None, :, :], new_h, state[0]),
+                jnp.where(keep[None, :, :], new_c, state[1]),
+            )
+        else:
+            new_dec_hid = predict_prefix(jnp.clip(hyps, 0, None), hyp_len)
         dec_hid = jnp.where(keep, new_dec_hid, dec_hid)
-        state = (
-            jnp.where(keep[None, :, :], new_h, state[0]),
-            jnp.where(keep[None, :, :], new_c, state[1]),
-        )
         return (t_idx, done, dec_hid, state, hyps, hyp_len)
 
     init = (

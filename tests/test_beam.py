@@ -145,3 +145,27 @@ def test_beam_respects_enc_lens(rng):
         np.asarray(out["tokens"][1, 0, :l1]), np.asarray(out2["tokens"][0, 0, :l2])
     )
     np.testing.assert_allclose(float(out["scores"][1, 0]), float(out2["scores"][0, 0]), rtol=1e-5)
+
+
+def test_beam_transformer_prediction_net(rng):
+    """Conv-transformer prediction net decodes via full-prefix re-forward
+    (transducer_decoder.py:152-171); beam=1 must match greedy."""
+    cfg = TransducerConfig(
+        input_dim=6, vocab_size=4, hid_dim=12, encoder_type="rnn",
+        decoder_type="transformer", enc_layers=1, dec_layers=1, embd_dim=8,
+        dec_d_model=12, dec_heads=2, dec_d_ff=24,
+    )
+    model, variables = init_transducer(K, cfg)
+    enc, lens = _enc(model, variables, rng, b=2, t=5)
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=1, n_best=1, max_symbols=6))
+    g_hyps, g_lens = greedy_decode(model, variables, enc, lens, max_symbols=6)
+    for i in range(2):
+        gl, bl = int(g_lens[i]), int(out["lens"][i, 0])
+        assert gl == bl
+        np.testing.assert_array_equal(
+            np.asarray(g_hyps[i, :gl]), np.asarray(out["tokens"][i, 0, :bl]))
+    # wider beam finds a hypothesis at least as good
+    out8 = beam_search(model, variables, enc, lens,
+                       BeamConfig(beam_size=8, n_best=2, max_symbols=6))
+    assert float(out8["scores"][0, 0]) >= float(out["scores"][0, 0]) - 1e-5
