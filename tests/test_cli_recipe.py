@@ -107,6 +107,42 @@ def test_full_recipe(tmp_path, rng):
     lines = open(f"{d}/nbest.txt").read().splitlines()
     assert len(lines) == 24 * 4
 
+    # 4b) BMUF training mode smoke (2 virtual devices, sync_period 2)
+    os.makedirs(f"{d}/exp_bmuf", exist_ok=True)
+    train_main([
+        f"{d}/data.lst", f"{d}/bmuf.log", f"{d}/exp_bmuf",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--encoder_type", "rnn", "--decoder_type", "rnn",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--rnn_size", "48", "--embd_dim", "16",
+        "--output_dim", str(VOCAB), "--dropout", "0.0",
+        "--optim", "sgd", "--initial_lr", "0.05", "--final_lr", "0.04",
+        "--grad_clip", "3.0", "--num_epochs", "2", "--num_batches_per_epoch", "3",
+        "--dp_mode", "bmuf", "--sync_period", "2", "--block_momentum", "0.5",
+        "--num_devices", "2", "--batch_size", "4",
+    ])
+    assert os.path.exists(f"{d}/exp_bmuf/model.epoch.1/model.json")
+
+    # 4c) decode with n-gram FST shallow fusion (uniform loop LM — sanity)
+    lm = tmp_path / "loop.fst.txt"
+    with open(lm, "w") as f:
+        for k in range(1, VOCAB):
+            f.write(f"0 0 {k + 1} {k + 1} 1.0\n")
+        f.write("0 0.0\n")
+    wer_lm = eval_main([
+        model_dir, f"{d}/wav.scp", f"{d}/nbest_lm.txt",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--ref_labels", f"ark:{d}/label.txt",
+        "--beam_size", "4", "--n_best", "4", "--max_symbols", "8",
+        "--fst_lm", str(lm), "--fst_lm_scale", "0.2",
+        "--output_scores",
+    ])
+    assert wer_lm is not None and wer_lm < 0.2, f"WER with FST LM too high: {wer_lm}"
+
     # 5) MBR fine-tune for one short epoch
     os.makedirs(f"{d}/exp_mbr", exist_ok=True)
     mbr_main([
