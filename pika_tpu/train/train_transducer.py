@@ -31,6 +31,7 @@ from pika_tpu.parallel import (
 )
 from pika_tpu.train import common
 from pika_tpu.train.bundle import load_bundle, save_bundle
+from pika_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from pika_tpu.train.step import TrainState, make_train_step, transducer_loss
 from pika_tpu.utils.logger import Logger
 
@@ -46,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_train_args(parser)
     parser.add_argument("--valid_data_lst", type=str, default=None,
                         help="held-out data list; evaluated after each epoch")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the newest full-state checkpoint in "
+                             "output_dir (params + optimizer state + epoch)")
     parser.add_argument("--save_every_n_batches", type=int, default=0,
                         help="periodic temp checkpoint (0 = per-epoch only)")
     return parser
@@ -138,6 +142,16 @@ def main(argv=None):
         opt_state=tx.init(variables["params"]),
         batch_stats=variables.get("batch_stats"),
     )
+    start_epoch = 0
+    ckpt_dir = f"{args.output_dir}/ckpt"
+    if args.resume and args.dp_mode == "sync":
+        try:
+            state, meta = restore_checkpoint(ckpt_dir, target=state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log_f.write(f"resumed from epoch {start_epoch - 1} "
+                        f"(optimizer state included)\n")
+        except FileNotFoundError:
+            log_f.write("no checkpoint found; starting fresh\n")
 
     if args.dp_mode == "sync":
         import jax.numpy as _jnp
@@ -250,7 +264,7 @@ def main(argv=None):
                     f"{tot_loss / max(tot_labels, 1.0):.4f} <===\n")
         log_f.flush()
 
-    for epoch in range(args.num_epochs):
+    for epoch in range(start_epoch, args.num_epochs):
         log_f.write(f"===> Epoch {epoch} <===\n")
         log_f.flush()
         if args.dp_mode == "sync":
@@ -265,6 +279,12 @@ def main(argv=None):
             f"{args.output_dir}/model.epoch.{epoch}", "transducer", cfg,
             _variables_out(params_out, stats_out), metadata={"epoch": epoch},
         )
+        if args.dp_mode == "sync":
+            # full-state checkpoint (params + optimizer + BN stats) so
+            # --resume continues exactly, momentum included — the reference
+            # restarts the optimizer on resume (SURVEY.md §5.4)
+            save_checkpoint(ckpt_dir, epoch, jax.device_get(state),
+                            metadata={"epoch": epoch})
         if eval_step is not None:
             run_validation(params_out, stats_out, epoch)
     log_f.write("Training Finished\n")

@@ -90,6 +90,25 @@ def test_full_recipe(tmp_path, rng):
     ])
     assert os.path.exists(f"{d}/exp/model.tmp/model.json")
     assert "valid loss/label" in open(f"{d}/train.log").read()
+
+    # resume with optimizer state: continue 2 more epochs from epoch 29
+    train_main([
+        f"{d}/data.lst", f"{d}/train2.log", f"{d}/exp",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--encoder_type", "rnn", "--decoder_type", "rnn",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--rnn_size", "48", "--embd_dim", "16",
+        "--output_dim", str(VOCAB), "--dropout", "0.0",
+        "--optim", "sgd", "--initial_lr", "0.05", "--final_lr", "0.01",
+        "--grad_clip", "3.0", "--num_epochs", "32",
+        "--num_batches_per_epoch", "3",
+        "--dp_mode", "sync", "--num_devices", "2", "--batch_size", "4",
+        "--resume",
+    ])
+    assert "resumed from epoch 29" in open(f"{d}/train2.log").read()
+    assert os.path.exists(f"{d}/exp/model.epoch.31/model.json")
     model_dir = f"{d}/exp/model.epoch.29"
     assert os.path.exists(f"{model_dir}/model.json")
 
