@@ -37,22 +37,31 @@ def lstm_cell_step(wih: jnp.ndarray, whh: jnp.ndarray, b: jnp.ndarray, x, h, c):
 
 
 def _scan_direction(wih, whh, b, x_tm, mask_tm, h0, c0):
-    """Scan a single LSTM direction over time-major input (T, B, D)."""
+    """Scan a single LSTM direction over time-major input (T, B, D).
+
+    The input projection x @ Wih is hoisted out of the scan as one large
+    (T*B, D) @ (D, 4H) MXU matmul; only the h @ Whh recurrence stays
+    sequential — the standard TPU LSTM decomposition."""
+    x_proj = jnp.einsum("tbd,dh->tbh", x_tm, wih, preferred_element_type=x_tm.dtype) + b
 
     def step(carry, inp):
         h, c = carry
         if mask_tm is None:
-            xt = inp
-            h_new, c_new = lstm_cell_step(wih, whh, b, xt, h, c)
+            xp = inp
+        else:
+            xp, mt = inp
+        z = xp + h @ whh
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        if mask_tm is None:
             return (h_new, c_new), h_new
-        xt, mt = inp
-        h_new, c_new = lstm_cell_step(wih, whh, b, xt, h, c)
         keep = mt[:, None]
         h_new = keep * h_new + (1 - keep) * h
         c_new = keep * c_new + (1 - keep) * c
         return (h_new, c_new), h_new * keep
 
-    xs = x_tm if mask_tm is None else (x_tm, mask_tm)
+    xs = x_proj if mask_tm is None else (x_proj, mask_tm)
     (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs)
     return ys, hT, cT
 
