@@ -167,18 +167,31 @@ def main(argv=None):
         def run_epoch(epoch, state):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
             key = jax.random.PRNGKey(args.seed + epoch)
+            pending = []  # device metrics; sync in windows so the device
+                          # pipeline stays full (a per-batch float() would
+                          # serialize host and device)
+
+            def drain():
+                for m in pending:
+                    loss_val = float(m["loss"])
+                    if loss_val != loss_val:  # NaN health check (bmuf.py:89-90)
+                        log_f.write("NaN loss detected — stopping\n")
+                        sys.exit(1)
+                    logger.update_and_log(int(m["num_labels"]), [loss_val])
+                pending.clear()
+
             for i, batch in enumerate(batch_stream(args, loader_cfg, epoch)):
                 key, sub = jax.random.split(key)
                 state, metrics = dp_step(state, shard_batch(to_device_batch(batch), mesh), sub)
-                loss_val = float(metrics["loss"])
-                if loss_val != loss_val:  # NaN health check (bmuf.py:89-90)
-                    log_f.write("NaN loss detected — stopping\n")
-                    sys.exit(1)
-                logger.update_and_log(int(metrics["num_labels"]), [loss_val])
+                pending.append(metrics)
+                if len(pending) >= 8:
+                    drain()
                 if args.save_every_n_batches and (i + 1) % args.save_every_n_batches == 0:
+                    drain()
                     save_bundle(f"{args.output_dir}/model.tmp", "transducer", cfg,
                                 _variables_out(jax.device_get(state.params),
                                                jax.device_get(state.batch_stats)))
+            drain()
             logger.summarize_and_log()
             return state
 
