@@ -97,11 +97,18 @@ def main(argv=None):
             sampling_prob = min(0.4, sampling_prob + 0.1)
         log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
         logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
+        pending = []
         for batch in batch_stream(args, loader_cfg, epoch):
             key, sub = jax.random.split(key)
             state, metrics = step(state, to_device_batch(batch), sub,
                                   jnp.asarray(sampling_prob, jnp.float32))
-            logger.update_and_log(int(metrics["num_labels"]), [float(metrics["loss"])])
+            pending.append(metrics)
+            if len(pending) >= 8:
+                for m in pending:
+                    logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
+                pending = []
+        for m in pending:
+            logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
         logger.summarize_and_log()
         save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "las", cfg,
                     {"params": jax.device_get(state.params)},

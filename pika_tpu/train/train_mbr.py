@@ -71,17 +71,28 @@ def main(argv=None):
     for epoch in range(args.num_epochs):
         log_f.write(f"===> Epoch {epoch} <===\n")
         logger = Logger(log_f, args.log_per_n_frames, ["MBR Loss", "RNNT Loss"])
+        pending = []
+
+        def drain():
+            for m in pending:
+                logger.update_and_log(
+                    int(m["num_labels"]),
+                    [float(m["mbr_loss"]), float(m["rnnt_loss"])],
+                )
+            pending.clear()
+
         for batch in batch_stream(args, loader_cfg, epoch):
             key, sub = jax.random.split(key)
             state, metrics = step(state, to_device_batch(batch), sub)
-            logger.update_and_log(
-                int(metrics["num_labels"]),
-                [float(metrics["mbr_loss"]), float(metrics["rnnt_loss"])],
-            )
+            pending.append(metrics)
+            if len(pending) >= 8:
+                drain()
             num_done += 1
             if num_done % args.tmp_save_batches == 0:
+                drain()
                 save_bundle(f"{args.output_dir}/model.tmp", "transducer",
                             model.config, {"params": jax.device_get(state.params)})
+        drain()
         logger.summarize_and_log()
         save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "transducer",
                     model.config, {"params": jax.device_get(state.params)},
