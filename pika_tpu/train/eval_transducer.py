@@ -104,32 +104,54 @@ def main(argv=None):
     scp = read_wav_scp(args.wav_scp)
     uttids = list(scp)
     bsz = args.batch_size
-    total_audio = 0.0
     t_start = time.perf_counter()
     hyp_best = {}
 
+    min_samples = 0
+    if args.min_len > 0:
+        # frames = 1 + (n - frame_len)//shift → invert for min_len
+        min_samples = (args.min_len - 1) * 160 + 400
+
+    def make_chunk(chunk):
+        wavs = np.zeros((bsz, max_samples), np.float32)
+        lens = np.full(bsz, max_samples, np.int32)
+        audio = 0.0
+        for i, uttid in enumerate(chunk):
+            pcm, rate = read_wav(scp[uttid])
+            x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
+            x = x[:max_samples]
+            if len(x) < min_samples:
+                x = np.pad(x, (0, min_samples - len(x)), mode="edge")
+            wavs[i, : len(x)] = x
+            lens[i] = len(x)
+            audio += len(x) / rate
+        return chunk, wavs, lens, audio
+
+    def chunk_stream():
+        """Prefetch the next chunk's wav I/O while the device decodes."""
+        import queue as _q
+        import threading as _t
+
+        q: "_q.Queue" = _q.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for i0 in range(0, len(uttids), bsz):
+                    q.put(make_chunk(uttids[i0 : i0 + bsz]))
+            finally:
+                q.put(None)
+
+        _t.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    total_audio = 0.0
     with open(args.output_file, "w", encoding="utf-8") as out_f:
-        for i0 in range(0, len(uttids), bsz):
-            chunk = uttids[i0 : i0 + bsz]
-            wavs = np.zeros((len(chunk), max_samples), np.float32)
-            lens = np.zeros(len(chunk), np.int32)
-            min_samples = 0
-            if args.min_len > 0:
-                # frames = 1 + (n - frame_len)//shift → invert for min_len
-                min_samples = (args.min_len - 1) * 160 + 400
-            for i, uttid in enumerate(chunk):
-                pcm, rate = read_wav(scp[uttid])
-                x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
-                x = x[:max_samples]
-                if len(x) < min_samples:
-                    x = np.pad(x, (0, min_samples - len(x)), mode="edge")
-                wavs[i, : len(x)] = x
-                lens[i] = len(x)
-                total_audio += len(x) / rate
-            pad = bsz - len(chunk)
-            if pad:
-                wavs = np.pad(wavs, ((0, pad), (0, 0)))
-                lens = np.pad(lens, (0, pad), constant_values=max_samples)
+        for chunk, wavs, lens, audio in chunk_stream():
+            total_audio += audio
             out = decode(jnp.asarray(wavs), jnp.asarray(lens))
 
             fw_scores = bw_scores = None
