@@ -104,10 +104,7 @@ def beam_search(
         return model.apply(variables, tok, state, method=Transducer.predict_step)
 
     def predict_prefix(tokens, lens):
-        """Transformer prediction net: full-prefix re-forward, state at the
-        last position (transducer_decoder.py:152-171)."""
-        dec = model.apply(variables, tokens, lens, method=Transducer.predict)
-        return jnp.take_along_axis(dec, lens[:, None, None], axis=1)[:, 0, :]
+        return model.apply(variables, tokens, lens, method=Transducer.predict_last)
 
     def joint_step(enc_hid, dec_hid):
         return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
@@ -117,8 +114,8 @@ def beam_search(
         zero_state = (jnp.zeros((layers, b * k, hid)), jnp.zeros((layers, b * k, hid)))
         dec_hid0, (h0, c0) = predict_step(jnp.zeros((b * k,), jnp.int32), zero_state)
     else:
-        # unused placeholder state, shaped like the RNN one for reshapes
-        h0 = c0 = jnp.zeros((layers, b * k, hid))
+        # tiny unused placeholder state (not gathered in the loop)
+        h0 = c0 = jnp.zeros((1, b * k, 1))
         dec_hid0 = predict_prefix(
             jnp.zeros((b * k, um), jnp.int32), jnp.zeros((b * k,), jnp.int32)
         )
@@ -144,8 +141,8 @@ def beam_search(
         align_lens=jnp.zeros((b, k), jnp.int32),
         hashes=jnp.zeros((b, k), jnp.uint32),
         dec_hid=dec_hid0.reshape(b, k, hid),
-        dec_h=h0.reshape(layers, b, k, hid),
-        dec_c=c0.reshape(layers, b, k, hid),
+        dec_h=h0.reshape(h0.shape[0], b, k, -1),
+        dec_c=c0.reshape(c0.shape[0], b, k, -1),
         fst_states=fst_states0,
         fst_costs=fst_costs0,
         fin_scores=jnp.full((b, n), NEG),
@@ -231,8 +228,11 @@ def beam_search(
         hashes = _gather_beams(st.hashes, prev_k)
         t_idx = _gather_beams(st.t_idx, prev_k)
         dec_hid = _gather_beams(st.dec_hid, prev_k)
-        dec_h = jnp.take_along_axis(st.dec_h, prev_k[None, :, :, None], axis=2)
-        dec_c = jnp.take_along_axis(st.dec_c, prev_k[None, :, :, None], axis=2)
+        if is_rnn:
+            dec_h = jnp.take_along_axis(st.dec_h, prev_k[None, :, :, None], axis=2)
+            dec_c = jnp.take_along_axis(st.dec_c, prev_k[None, :, :, None], axis=2)
+        else:
+            dec_h, dec_c = st.dec_h, st.dec_c
         fst_states = _gather_beams(st.fst_states, prev_k)
         fst_costs = _gather_beams(st.fst_costs, prev_k)
 
@@ -261,6 +261,7 @@ def beam_search(
             )
             dec_h = jnp.where(keep[None], nh, dec_h.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
             dec_c = jnp.where(keep[None], nc, dec_c.reshape(layers, b * k, hid)).reshape(layers, b, k, hid)
+            del nh, nc
         else:
             new_hid = predict_prefix(
                 jnp.clip(tokens, 0, None).reshape(b * k, um),

@@ -31,7 +31,8 @@ def greedy_decode(
     """Decode a batch given encoder output.
 
     Returns (hyps (B, max_symbols) int32 padded with -1, hyp_lens (B,)).
-    Requires an RNN (LSTM) prediction network.
+    Supports both prediction nets: LSTM decoders advance incrementally;
+    transformer decoders re-forward the full prefix each emission.
     """
     is_rnn = model.config.decoder_type == "rnn"
     b, t_max, _ = enc_out.shape
@@ -42,8 +43,7 @@ def greedy_decode(
         return model.apply(variables, tok, state, method=Transducer.predict_step)
 
     def predict_prefix(tokens, lens):
-        dec = model.apply(variables, tokens, lens, method=Transducer.predict)
-        return jnp.take_along_axis(dec, lens[:, None, None], axis=1)[:, 0, :]
+        return model.apply(variables, tokens, lens, method=Transducer.predict_last)
 
     def joint_step(enc_hid, dec_hid):
         return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)

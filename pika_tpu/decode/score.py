@@ -47,5 +47,12 @@ def main(argv=None):
     return wer
 
 
+def cli():
+    """Console-script entry: main() returns the WER for programmatic use,
+    which sys.exit() would misread as a failing exit status."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -148,6 +148,15 @@ class Transducer(nn.Module):
         top, h, c = lstm_stack_step(dec_params, self.config.dec_layers, emb, state[0], state[1])
         return top, (h, c)
 
+    def predict_last(self, tokens: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+        """Prediction-net state after a full prefix: (B, Um) tokens with
+        per-row lengths → (B, H) output at position ``lens`` (SOS included).
+        The transformer decoder's incremental step — a full re-forward with
+        the state gathered at the prefix end (transducer_decoder.py:152-171).
+        """
+        dec = self.predict(tokens, lens)
+        return jnp.take_along_axis(dec, lens[:, None, None], axis=1)[:, 0, :]
+
     def joint_factors(self, enc_out: jnp.ndarray, dec_out: jnp.ndarray):
         """Pre-activations for the fused loss: returns
         (ax, gx) over T and (ay, gy) over U (biases folded into the y side)."""

@@ -109,8 +109,10 @@ def main(argv=None):
 
     min_samples = 0
     if args.min_len > 0:
-        # frames = 1 + (n - frame_len)//shift → invert for min_len
-        min_samples = (args.min_len - 1) * 160 + 400
+        # frames = 1 + (n - frame_len)//shift → invert for min_len using
+        # the configured fbank geometry
+        fbc = common.fbank_from_args(args)
+        min_samples = (args.min_len - 1) * fbc.frame_shift + fbc.frame_length
 
     def make_chunk(chunk):
         wavs = np.zeros((bsz, max_samples), np.float32)
@@ -121,14 +123,17 @@ def main(argv=None):
             x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
             x = x[:max_samples]
             if len(x) < min_samples:
-                x = np.pad(x, (0, min_samples - len(x)), mode="edge")
+                mode = "edge" if len(x) else "constant"
+                x = np.pad(x, (0, min(min_samples, max_samples) - len(x)), mode=mode)
             wavs[i, : len(x)] = x
             lens[i] = len(x)
             audio += len(x) / rate
         return chunk, wavs, lens, audio
 
     def chunk_stream():
-        """Prefetch the next chunk's wav I/O while the device decodes."""
+        """Prefetch the next chunk's wav I/O while the device decodes.
+        Producer exceptions propagate to the consumer (a bad wav must abort
+        the run, not silently truncate it)."""
         import queue as _q
         import threading as _t
 
@@ -137,14 +142,17 @@ def main(argv=None):
         def producer():
             try:
                 for i0 in range(0, len(uttids), bsz):
-                    q.put(make_chunk(uttids[i0 : i0 + bsz]))
-            finally:
-                q.put(None)
+                    q.put(("ok", make_chunk(uttids[i0 : i0 + bsz])))
+                q.put(("done", None))
+            except BaseException as exc:  # re-raised on the main thread
+                q.put(("error", exc))
 
         _t.Thread(target=producer, daemon=True).start()
         while True:
-            item = q.get()
-            if item is None:
+            kind, item = q.get()
+            if kind == "error":
+                raise item
+            if kind == "done":
                 return
             yield item
 
@@ -211,6 +219,13 @@ def main(argv=None):
               file=sys.stderr)
         return wer
     return None
+
+
+def cli():
+    """Console-script entry: main() returns the WER for programmatic use,
+    which sys.exit() would misread as a failing exit status."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

@@ -147,7 +147,7 @@ def main(argv=None):
     if args.resume and args.dp_mode == "sync":
         try:
             state, meta = restore_checkpoint(ckpt_dir, target=state)
-            start_epoch = int(meta.get("epoch", -1)) + 1
+            start_epoch = int((meta or {}).get("epoch", -1)) + 1
             log_f.write(f"resumed from epoch {start_epoch - 1} "
                         f"(optimizer state included)\n")
         except FileNotFoundError:
@@ -224,9 +224,20 @@ def main(argv=None):
             }
 
         round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh, reduce_extra=True)
+        if args.resume:
+            try:
+                bundle = {"bstate": bstate, "stats": bn_stats, "steps": jnp.zeros((), jnp.int32)}
+                bundle, meta = restore_checkpoint(ckpt_dir, target=bundle)
+                bstate = replicate_tree(bundle["bstate"], mesh)
+                bn_stats = (replicate_tree(bundle["stats"], mesh)
+                            if bundle["stats"] is not None else None)
+                start_epoch = int((meta or {}).get("epoch", -1)) + 1
+                log_f.write(f"resumed BMUF state from epoch {start_epoch - 1}\n")
+            except FileNotFoundError:
+                log_f.write("no checkpoint found; starting fresh\n")
 
         stats_box = [bn_stats]
-        step_box = [0]
+        step_box = [start_epoch * args.num_batches_per_epoch]
 
         def run_epoch(epoch, bstate_):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
@@ -298,6 +309,14 @@ def main(argv=None):
             # restarts the optimizer on resume (SURVEY.md §5.4)
             save_checkpoint(ckpt_dir, epoch, jax.device_get(state),
                             metadata={"epoch": epoch})
+        else:
+            save_checkpoint(
+                ckpt_dir, epoch,
+                {"bstate": jax.device_get(bstate),
+                 "stats": jax.device_get(stats_box[0]) if stats_box[0] is not None else None,
+                 "steps": jnp.asarray(step_box[0], jnp.int32)},
+                metadata={"epoch": epoch},
+            )
         if eval_step is not None:
             run_validation(params_out, stats_out, epoch)
     log_f.write("Training Finished\n")

@@ -143,6 +143,23 @@ def test_full_recipe(tmp_path, rng):
         "--num_devices", "2", "--batch_size", "4",
     ])
     assert os.path.exists(f"{d}/exp_bmuf/model.epoch.1/model.json")
+    # BMUF resume: continue one more epoch from the saved block state
+    train_main([
+        f"{d}/data.lst", f"{d}/bmuf2.log", f"{d}/exp_bmuf",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--encoder_type", "rnn", "--decoder_type", "rnn",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--rnn_size", "48", "--embd_dim", "16",
+        "--output_dim", str(VOCAB), "--dropout", "0.0",
+        "--optim", "sgd", "--initial_lr", "0.05", "--final_lr", "0.04",
+        "--grad_clip", "3.0", "--num_epochs", "3", "--num_batches_per_epoch", "3",
+        "--dp_mode", "bmuf", "--sync_period", "2", "--block_momentum", "0.5",
+        "--num_devices", "2", "--batch_size", "4", "--resume",
+    ])
+    assert "resumed BMUF state from epoch 1" in open(f"{d}/bmuf2.log").read()
+    assert os.path.exists(f"{d}/exp_bmuf/model.epoch.2/model.json")
 
     # 4c) decode with n-gram FST shallow fusion (uniform loop LM — sanity)
     lm = tmp_path / "loop.fst.txt"
