@@ -158,6 +158,118 @@ def read_text_fst(
                          backoff_id, disambig_ids)
 
 
+_OPENFST_MAGIC = 2125659606
+
+
+def read_openfst_binary(
+    path: str,
+    backoff_id: int = 0,
+    disambig_ids: Optional[List[int]] = None,
+) -> FstTables:
+    """Read a binary OpenFst VectorFst<StdArc> (the file format the
+    reference loads with ``fst.StdVectorFst.read``,
+    decode_transducer.py:83).  Layout per the OpenFst FstHeader +
+    VectorFst state serialization: magic, fst/arc type strings, version,
+    flags, properties, start, numstates, numarcs; then per state the final
+    weight (f32), arc count (i64), and arcs (ilabel i32, olabel i32,
+    weight f32, nextstate i32)."""
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        def read_i32():
+            return _struct.unpack("<i", f.read(4))[0]
+
+        def read_i64():
+            return _struct.unpack("<q", f.read(8))[0]
+
+        def read_string():
+            n = read_i32()
+            return f.read(n).decode()
+
+        magic = read_i32()
+        if magic != _OPENFST_MAGIC:
+            raise ValueError(f"not an OpenFst binary file (magic {magic})")
+        fsttype = read_string()
+        arctype = read_string()
+        if arctype != "standard":
+            raise ValueError(f"unsupported arc type {arctype!r}")
+        if fsttype not in ("vector",):
+            raise ValueError(f"unsupported fst type {fsttype!r}")
+        _version = read_i32()
+        _flags = read_i32()
+        _properties = _struct.unpack("<Q", f.read(8))[0]
+        start = read_i64()
+        numstates = read_i64()
+        _numarcs = read_i64()
+
+        arcs: Dict[int, List[Tuple[int, float, int]]] = {}
+        finals: Dict[int, float] = {}
+        for s_id in range(numstates):
+            (final_w,) = _struct.unpack("<f", f.read(4))
+            narcs = read_i64()
+            if final_w != float("inf"):
+                finals[s_id] = final_w
+            if narcs:
+                raw = f.read(16 * narcs)
+                lst = arcs.setdefault(s_id, [])
+                for k in range(narcs):
+                    il, _ol, w, ns = _struct.unpack_from("<iifi", raw, 16 * k)
+                    lst.append((il, w, ns))
+    return _build_tables(numstates, arcs, finals, max(start, 0),
+                         backoff_id, disambig_ids)
+
+
+def write_openfst_binary(path: str, tables: FstTables) -> None:
+    """Write dense tables back out as a binary VectorFst<StdArc> —
+    round-trip/interchange helper."""
+    import struct as _struct
+
+    n = tables.n_states
+    with open(path, "wb") as f:
+        def w_i32(v):
+            f.write(_struct.pack("<i", v))
+
+        def w_i64(v):
+            f.write(_struct.pack("<q", v))
+
+        def w_str(v):
+            w_i32(len(v))
+            f.write(v.encode())
+
+        w_i32(_OPENFST_MAGIC)
+        w_str("vector")
+        w_str("standard")
+        w_i32(2)          # version
+        w_i32(3)          # flags: has isymbols/osymbols bits unset; header flags
+        f.write(_struct.pack("<Q", 0))  # properties
+        w_i64(tables.start)
+        w_i64(n)
+        total_arcs = 0
+        state_arcs = []
+        for s_id in range(n):
+            lst = [
+                (int(tables.arc_ilabel[i]), float(tables.arc_weight[i]), int(tables.arc_next[i]))
+                for i in range(int(tables.arc_start[s_id]), int(tables.arc_start[s_id + 1]))
+            ]
+            if tables.backoff_next[s_id] >= 0:
+                lst.append((0, float(tables.backoff_weight[s_id]), int(tables.backoff_next[s_id])))
+                lst.sort()
+            if (tables.disambig_next[s_id] >= 0).any():
+                raise NotImplementedError(
+                    "writing disambig arcs requires their original ids, "
+                    "which FstTables does not retain"
+                )
+            state_arcs.append(lst)
+            total_arcs += len(lst)
+        w_i64(total_arcs)
+        for s_id in range(n):
+            fw = float(tables.final_weight[s_id])
+            f.write(_struct.pack("<f", fw if fw < INF else float("inf")))
+            w_i64(len(state_arcs[s_id]))
+            for il, w, ns in state_arcs[s_id]:
+                f.write(_struct.pack("<iifi", il, il, w, ns))
+
+
 def compile_arpa(
     path: str,
     symbol_to_id: Dict[str, int],

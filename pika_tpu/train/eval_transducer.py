@@ -22,7 +22,7 @@ from pika_tpu.data.scp import read_symbol_table, read_wav_scp, read_int_vectors
 from pika_tpu.data.wavio import read_wav
 from pika_tpu.data import segment as seg
 from pika_tpu.decode.beam import BeamConfig, beam_search_waveforms
-from pika_tpu.decode.fst import compile_arpa, read_text_fst
+from pika_tpu.decode.fst import compile_arpa, read_openfst_binary, read_text_fst
 from pika_tpu.decode.rescore import las_score_hyps, rerank_nbest
 from pika_tpu.decode.wer import score_wer
 from pika_tpu.train import common
@@ -43,7 +43,10 @@ def build_parser():
     parser.add_argument("--sm_scale", type=float, default=1.0)
     parser.add_argument("--max_symbols", type=int, default=220)
     parser.add_argument("--fst_lm", type=str, default="",
-                        help="text FST or .arpa n-gram LM")
+                        help="binary OpenFst, text FST, or .arpa n-gram LM")
+    parser.add_argument("--backoff_id", type=int, default=0)
+    parser.add_argument("--disambig_ids", type=str, default="",
+                        help="comma separated disambig label ids")
     parser.add_argument("--fst_lm_scale", type=float, default=1.0)
     parser.add_argument("--nonblk_reward", type=float, default=0.0)
     parser.add_argument("--max_fst_states", type=int, default=4)
@@ -73,11 +76,16 @@ def main(argv=None):
     fst_tables = None
     fst_start = 0
     if args.fst_lm:
+        disambig = [int(x) for x in args.disambig_ids.split(",") if x]
         if args.fst_lm.endswith(".arpa"):
             sym = read_symbol_table(args.symbols_map)
-            tables = compile_arpa(args.fst_lm, {s: i + 1 for i, s in sym.items()})
+            tables = compile_arpa(args.fst_lm, {s: i + 1 for i, s in sym.items()},
+                                  backoff_id=args.backoff_id)
         else:
-            tables = read_text_fst(args.fst_lm)
+            try:
+                tables = read_openfst_binary(args.fst_lm, args.backoff_id, disambig)
+            except ValueError:
+                tables = read_text_fst(args.fst_lm, args.backoff_id, disambig)
         fst_tables = tables.device_arrays()
         fst_start = tables.start
 

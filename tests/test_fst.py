@@ -188,3 +188,19 @@ def test_compile_arpa_scores(tmp_path):
     # ARPA chain: p(a|<s>) = 10^-0.30 ; p(b|a) = 10^-0.45 ; p(</s>|b) = 10^-0.5
     expected = -(0.30 + 0.45 + 0.5) * math.log(10)
     np.testing.assert_allclose(final, expected, rtol=1e-4)
+
+
+def test_openfst_binary_roundtrip(toy_fst, tmp_path):
+    """Dense tables → binary VectorFst<StdArc> → dense tables round trip."""
+    from pika_tpu.decode.fst import read_openfst_binary, write_openfst_binary
+
+    path = tmp_path / "lm.fst"
+    write_openfst_binary(str(path), toy_fst)
+    back = read_openfst_binary(str(path))
+    np.testing.assert_array_equal(back.arc_start, toy_fst.arc_start)
+    np.testing.assert_array_equal(back.arc_ilabel, toy_fst.arc_ilabel)
+    np.testing.assert_allclose(back.arc_weight, toy_fst.arc_weight, rtol=1e-6)
+    np.testing.assert_array_equal(back.arc_next, toy_fst.arc_next)
+    np.testing.assert_array_equal(back.backoff_next, toy_fst.backoff_next)
+    np.testing.assert_allclose(back.final_weight, toy_fst.final_weight, rtol=1e-6)
+    assert back.start == toy_fst.start
