@@ -5,17 +5,62 @@ running the FULL fused step: waveform → fbank → splice → CMVN →
 SpecAugment → encoder/decoder/joint → fused RNN-T loss → SGD update,
 as one XLA program on one chip.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Timing discipline (this PJRT transport does NOT reliably sync on
+``block_until_ready`` and short-circuits repeated identical dispatches):
+the N timed steps run inside ONE jitted ``lax.scan`` whose carry is the
+TrainState — every step depends on the previous step's parameters, so no
+step can be elided or overlapped away — and each repetition is ended by a
+``float()`` host materialization of the final loss.  Two timed
+repetitions are required to agree within 10% or the benchmark exits
+non-zero.
 
-``vs_baseline`` is null: the reference publishes no throughput numbers
-(BASELINE.md), and its GPU stack cannot run here.
+Prints exactly one JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Diagnostics (per-step ms, derived TFLOP/s, repetition spread) go to
+stderr.  ``vs_baseline`` is null: the reference publishes no throughput
+numbers (BASELINE.md), and its GPU stack cannot run here.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+BATCH = 8
+SECONDS = 10.0
+SR = 16000
+VOCAB = 6268
+U_MAX = 40
+N_STEPS = 10
+N_REPS = 2
+TOLERANCE = 0.10
+
+
+def flop_model(t_frames: int, batch: int, u: int) -> float:
+    """Rough per-step training FLOPs for the flagship config (fwd ~= the
+    matmul terms below; training ~= 3x fwd for fwd+bwd).  Dominant terms
+    only — FFT, BatchNorm, softmax, elementwise are ignored, so this is a
+    mild UNDERestimate; it exists to make implausible utt/s numbers
+    self-evident, not to compute MFU precisely."""
+    nhid = 1024
+    t4 = t_frames // 4  # final TDNN layer has stride 4
+    fwd = 0.0
+    # 9 TDNN layers, kernel 3 in time: first maps 240->1024, rest 1024->1024;
+    # the stride-4 layer only pays for t4 output frames.
+    fwd += 2 * 3 * 240 * nhid * t_frames
+    fwd += 2 * 3 * nhid * nhid * (7 * t_frames + t4)
+    # 3 transformer layers (2 at full T, 1 at T/4): QKVO + scores + FFN(4x)
+    for t in (t_frames, t_frames, t4):
+        fwd += 2 * 4 * t * nhid * nhid          # q,k,v,o projections
+        fwd += 2 * 2 * t * t * nhid             # scores + context
+        fwd += 2 * 2 * t * nhid * (4 * nhid)    # ffn
+    # 2-layer LSTM prediction net over U+1 symbols (8 matmuls of nhid^2/gate set)
+    fwd += 2 * (u + 1) * 2 * 8 * nhid * nhid
+    # fused joint: per (t', u) position the vocab projection dominates
+    fwd += 2 * t4 * (u + 1) * nhid * VOCAB
+    fwd *= batch
+    return 3.0 * fwd  # fwd + bwd
 
 
 def main():
@@ -29,15 +74,10 @@ def main():
         make_train_step,
     )
 
-    batch_size = 8
-    seconds = 10.0
-    sr = 16000
-    max_samples = int(sr * seconds)
-    vocab = 6268
-    u_max = 40
+    max_samples = int(SR * SECONDS)
 
     fbank_cfg = FbankConfig(
-        sample_frequency=sr, window_type="hamming", dither=1.0,
+        sample_frequency=SR, window_type="hamming", dither=1.0,
         low_freq=40.0, high_freq=-200.0, num_mel_bins=80,
     )
     featurizer = make_featurizer(
@@ -47,7 +87,7 @@ def main():
         )
     )
     cfg = TransducerConfig(
-        input_dim=240, vocab_size=vocab, hid_dim=1024,
+        input_dim=240, vocab_size=VOCAB, hid_dim=1024,
         encoder_type="tdnn_transformer", decoder_type="rnn",
         enc_layers=9, dec_layers=2, embd_dim=100,
         tdnn_nhid=1024, tdnn_layers=9,
@@ -62,32 +102,65 @@ def main():
         opt_state=tx.init(variables["params"]),
         batch_stats=variables.get("batch_stats"),
     )
-    train_step = make_train_step(model, tx, featurizer, loss_chunk=16, donate=True)  # loss_backend auto -> pallas on TPU
+    # loss_backend auto -> pallas on TPU
+    step_fn = make_train_step(model, tx, featurizer, loss_chunk=16, jit=False)
 
     rng = np.random.default_rng(0)
     batch = {
-        "wavs": jnp.asarray((rng.standard_normal((batch_size, max_samples)) * 4000).astype(np.float32)),
-        "wav_lens": jnp.asarray(np.full(batch_size, max_samples, np.int32)),
-        "labels": jnp.asarray(rng.integers(1, vocab, (batch_size, u_max)).astype(np.int32)),
-        "label_lens": jnp.asarray(np.full(batch_size, u_max, np.int32)),
+        "wavs": jnp.asarray((rng.standard_normal((BATCH, max_samples)) * 4000).astype(np.float32)),
+        "wav_lens": jnp.asarray(np.full(BATCH, max_samples, np.int32)),
+        "labels": jnp.asarray(rng.integers(1, VOCAB, (BATCH, U_MAX)).astype(np.int32)),
+        "label_lens": jnp.asarray(np.full(BATCH, U_MAX, np.int32)),
     }
-    key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    for i in range(3):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    def run_n(state, batch, key):
+        """N train steps, dependency-chained through the TrainState carry."""
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, metrics = step_fn(st, batch, sub)
+            return (st, k), metrics["loss"]
+        (state, _), losses = jax.lax.scan(
+            body, (state, key), None, length=N_STEPS)
+        return state, losses[-1]
 
-    n_steps = 10
+    run_j = jax.jit(run_n, donate_argnums=(0,))
+
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - t0
+    state, loss = run_j(state, batch, jax.random.PRNGKey(1))
+    float(loss)  # host materialization = the only reliable sync here
+    compile_s = time.perf_counter() - t0
 
-    utts_per_sec = batch_size * n_steps / elapsed
+    rep_times = []
+    for rep in range(N_REPS):
+        t0 = time.perf_counter()
+        state, loss = run_j(state, batch, jax.random.PRNGKey(2 + rep))
+        final_loss = float(loss)
+        rep_times.append(time.perf_counter() - t0)
+
+    spread = (max(rep_times) - min(rep_times)) / min(rep_times)
+    step_ms = [t / N_STEPS * 1000 for t in rep_times]
+    t_frames = 1 + (max_samples - 400) // 160  # Kaldi snip-edges frame count
+    tflops = flop_model(t_frames, BATCH, U_MAX) / (min(rep_times) / N_STEPS) / 1e12
+    print(
+        f"bench: compile+warm {compile_s:.1f}s; "
+        f"per-step ms per rep: {[f'{m:.1f}' for m in step_ms]}, "
+        f"spread {spread * 100:.1f}%; "
+        f"~{tflops:.1f} TFLOP/s (analytic matmul model, 3x-fwd training, "
+        f"underestimates by ignoring FFT/norm/softmax); "
+        f"final loss {final_loss:.1f}",
+        file=sys.stderr,
+    )
+    if spread > TOLERANCE:
+        print(
+            f"bench: FAILED — timed repetitions disagree by "
+            f"{spread * 100:.1f}% (> {TOLERANCE * 100:.0f}%): "
+            f"{[f'{t:.3f}s' for t in rep_times]}; timing not trustworthy",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    utts_per_sec = BATCH * N_STEPS / min(rep_times)
     print(json.dumps({
         "metric": "rnnt_train_utterances_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
