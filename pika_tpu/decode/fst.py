@@ -159,6 +159,7 @@ def read_text_fst(
 
 
 _OPENFST_MAGIC = 2125659606
+_SYMBOL_TABLE_MAGIC = 2125658996
 
 
 def read_openfst_binary(
@@ -196,11 +197,35 @@ def read_openfst_binary(
         if fsttype not in ("vector",):
             raise ValueError(f"unsupported fst type {fsttype!r}")
         _version = read_i32()
-        _flags = read_i32()
+        flags = read_i32()
         _properties = _struct.unpack("<Q", f.read(8))[0]
         start = read_i64()
         numstates = read_i64()
         _numarcs = read_i64()
+
+        def skip_symbol_table():
+            # OpenFst SymbolTable binary layout: magic, name, available_key,
+            # size, then size x (symbol string, i64 key).
+            st_magic = read_i32()
+            if st_magic != _SYMBOL_TABLE_MAGIC:
+                raise ValueError(
+                    f"embedded SymbolTable has unexpected magic {st_magic}; "
+                    "re-write the FST without symbol tables "
+                    "(fstcompile without --keep_isymbols/--keep_osymbols)")
+            read_string()  # name
+            read_i64()     # available_key
+            size = read_i64()
+            for _ in range(size):
+                read_string()
+                read_i64()
+
+        # FstHeader flags: 0x1 = HAS_ISYMBOLS, 0x2 = HAS_OSYMBOLS — files
+        # written by `fstcompile --keep_isymbols/--keep_osymbols` embed the
+        # SymbolTables between the header and the state data.
+        if flags & 0x1:
+            skip_symbol_table()
+        if flags & 0x2:
+            skip_symbol_table()
 
         arcs: Dict[int, List[Tuple[int, float, int]]] = {}
         finals: Dict[int, float] = {}
@@ -240,7 +265,7 @@ def write_openfst_binary(path: str, tables: FstTables) -> None:
         w_str("vector")
         w_str("standard")
         w_i32(2)          # version
-        w_i32(3)          # flags: has isymbols/osymbols bits unset; header flags
+        w_i32(0)          # flags: no embedded isymbols/osymbols tables
         f.write(_struct.pack("<Q", 0))  # properties
         w_i64(tables.start)
         w_i64(n)
@@ -334,12 +359,16 @@ def compile_arpa(
             # lower orders land on the full-context state; the highest
             # order has no state of its own and drops the oldest word
             dst = get_state(words if n < order else words[1:])
+            # Register the backoff BEFORE the emittable-token check: the
+            # context state is still reachable even when the word itself is
+            # not an emittable token (e.g. the <s> unigram's context is the
+            # start state — dropping its bow would give it an implicit
+            # 0-weight backoff and inflate utterance-initial LM scores).
+            if bow is not None and n < order:
+                backoffs[get_state(words)] = (-bow * LOG10, get_state(words[1:]))
             if w not in symbol_to_id:
                 continue
             arcs.setdefault(src, []).append((symbol_to_id[w], weight, dst))
-            if bow is not None and n < order:
-                bo_dst = get_state(words[1:])
-                backoffs[get_state(words)] = (-bow * LOG10, bo_dst)
 
     n_states = len(state_of)
     for s, (w, dst) in backoffs.items():

@@ -224,6 +224,7 @@ def main(argv=None):
             }
 
         round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh, reduce_extra=True)
+        resumed_steps = None
         if args.resume:
             try:
                 bundle = {"bstate": bstate, "stats": bn_stats, "steps": jnp.zeros((), jnp.int32)}
@@ -232,12 +233,19 @@ def main(argv=None):
                 bn_stats = (replicate_tree(bundle["stats"], mesh)
                             if bundle["stats"] is not None else None)
                 start_epoch = int((meta or {}).get("epoch", -1)) + 1
-                log_f.write(f"resumed BMUF state from epoch {start_epoch - 1}\n")
+                resumed_steps = int(np.asarray(bundle["steps"]))
+                log_f.write(f"resumed BMUF state from epoch {start_epoch - 1} "
+                            f"(step {resumed_steps})\n")
             except FileNotFoundError:
                 log_f.write("no checkpoint found; starting fresh\n")
 
         stats_box = [bn_stats]
-        step_box = [start_epoch * args.num_batches_per_epoch]
+        # The LR/BMUF schedule step comes from the checkpoint when one was
+        # restored: re-deriving it as epoch * num_batches_per_epoch drifts
+        # when --num_batches_per_epoch changes between runs or the
+        # checkpoint was saved off an epoch boundary.
+        step_box = [resumed_steps if resumed_steps is not None
+                    else start_epoch * args.num_batches_per_epoch]
 
         def run_epoch(epoch, bstate_):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])

@@ -190,6 +190,80 @@ def test_compile_arpa_scores(tmp_path):
     np.testing.assert_allclose(final, expected, rtol=1e-4)
 
 
+def test_compile_arpa_start_state_backoff(tmp_path):
+    """The <s> unigram's bow must be kept even though <s> is not an
+    emittable token: a token with no explicit <s> bigram pays
+    bow(<s>) + p_unigram, not just p_unigram (ADVICE r1: the dropped bow
+    inflated every utterance-initial LM score)."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(
+        "\\data\\\n"
+        "ngram 1=4\n"
+        "ngram 2=3\n"
+        "\n"
+        "\\1-grams:\n"
+        "-0.7 <s> -0.3\n"
+        "-0.9 a -0.2\n"
+        "-1.1 b -0.25\n"
+        "-0.8 </s>\n"
+        "\n"
+        "\\2-grams:\n"
+        "-0.30 <s> a\n"
+        "-0.45 a b\n"
+        "-0.5 b </s>\n"
+        "\n"
+        "\\end\\\n"
+    )
+    sym = {"a": 1, "b": 2}
+    tables_obj = compile_arpa(str(arpa), sym)
+    tables = tables_obj.device_arrays()
+    states, costs = init_state_sets(tables_obj, (1, 1), max_states=4)
+    # "b" from the start state: no <s>-b bigram, so back off with the <s>
+    # bow (-0.3) and take the b unigram (-1.1).
+    states, costs, lm = fst_advance_sets(
+        tables, states, costs, jnp.full((1, 1), 2, jnp.int32))
+    expected = -(0.3 + 1.1) * math.log(10)
+    np.testing.assert_allclose(float(lm[0, 0]), expected, rtol=1e-4)
+
+
+def test_openfst_binary_flags_and_embedded_symbol_tables(toy_fst, tmp_path):
+    """Written headers carry flags=0 (no embedded SymbolTables); files with
+    flags 0x1/0x2 (fstcompile --keep_isymbols/--keep_osymbols) have their
+    embedded SymbolTables skipped on read (ADVICE r1)."""
+    import struct
+
+    from pika_tpu.decode.fst import read_openfst_binary, write_openfst_binary
+
+    path = tmp_path / "lm.fst"
+    write_openfst_binary(str(path), toy_fst)
+    raw = path.read_bytes()
+    # header: magic i32, "vector" (4+6), "standard" (4+8), version i32,
+    # flags i32 at offset 30, then props u64 + start/numstates/numarcs
+    # i64 -> header ends at 66
+    assert struct.unpack_from("<i", raw, 30)[0] == 0
+
+    def symtab(name, syms):
+        out = struct.pack("<i", 2125658996)
+        out += struct.pack("<i", len(name)) + name.encode()
+        out += struct.pack("<q", len(syms))  # available_key
+        out += struct.pack("<q", len(syms))
+        for key, s in enumerate(syms):
+            out += struct.pack("<i", len(s)) + s.encode()
+            out += struct.pack("<q", key)
+        return out
+
+    patched = (raw[:30] + struct.pack("<i", 3) + raw[34:66]
+               + symtab("isyms", ["<eps>", "a"])
+               + symtab("osyms", ["<eps>", "a", "b"])
+               + raw[66:])
+    path2 = tmp_path / "lm_syms.fst"
+    path2.write_bytes(patched)
+    back = read_openfst_binary(str(path2))
+    np.testing.assert_array_equal(back.arc_ilabel, toy_fst.arc_ilabel)
+    np.testing.assert_allclose(back.final_weight, toy_fst.final_weight, rtol=1e-6)
+    assert back.start == toy_fst.start
+
+
 def test_openfst_binary_roundtrip(toy_fst, tmp_path):
     """Dense tables → binary VectorFst<StdArc> → dense tables round trip."""
     from pika_tpu.decode.fst import read_openfst_binary, write_openfst_binary
