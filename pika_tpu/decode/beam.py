@@ -321,6 +321,19 @@ def beam_search(
     }
 
 
+def beam_search_features(model, variables, feats, feat_lens, cfg: BeamConfig,
+                         fst_tables=None, fst_start: int = 0):
+    """Precomputed-feature decode: spliced/strided features → encoder →
+    beam search.  The reference's ``--loader utt`` eval path
+    (egs/eval_transducer.sh:88, decode_transducer.py:108-120)."""
+    enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)
+    enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
+    out = beam_search(model, variables, enc, enc_lens, cfg, fst_tables, fst_start)
+    out["enc_out"] = enc
+    out["enc_lens"] = enc_lens
+    return out
+
+
 def beam_search_waveforms(model, variables, featurizer, wavs, wav_lens, cfg: BeamConfig,
                           fst_tables=None, fst_start: int = 0):
     """wav → features → encoder → beam search (decode_batch equivalent,

@@ -32,8 +32,15 @@ from pika_tpu.train.bundle import load_bundle
 def build_parser():
     parser = argparse.ArgumentParser(description="transducer batch decoding")
     parser.add_argument("model", type=str, help="model bundle directory")
-    parser.add_argument("wav_scp", type=str, help="wav.scp to decode")
+    parser.add_argument("wav_scp", type=str,
+                        help="wav.scp (--loader otf) or feats.scp/.ark of "
+                             "precomputed fbank features (--loader utt)")
     parser.add_argument("output_file", type=str)
+    parser.add_argument("--loader", type=str, default="otf",
+                        choices=["otf", "utt"],
+                        help="otf: decode raw audio with on-device features; "
+                             "utt: decode precomputed Kaldi feature archives "
+                             "(eval_transducer.sh:88, decode_transducer.py:108-120)")
     parser.add_argument("--symbols_map", type=str, default=None)
     parser.add_argument("--ref_labels", type=str, default=None,
                         help="label.txt for WER scoring")
@@ -102,72 +109,126 @@ def main(argv=None):
     if args.las_rescorer_bw_model:
         las_bw = load_bundle(args.las_rescorer_bw_model)
 
-    decode = jax.jit(
-        lambda w, l: beam_search_waveforms(
-            model, variables, featurizer, w, l, cfg, fst_tables, fst_start
-        )
-    )
-
     sym_map = read_symbol_table(args.symbols_map) if args.symbols_map else None
-    scp = read_wav_scp(args.wav_scp)
-    uttids = list(scp)
     bsz = args.batch_size
     t_start = time.perf_counter()
     hyp_best = {}
+    n_utts = 0
 
-    min_samples = 0
-    if args.min_len > 0:
-        # frames = 1 + (n - frame_len)//shift → invert for min_len using
-        # the configured fbank geometry
+    if args.loader == "utt":
+        # Precomputed-feature decoding (reference --loader utt:
+        # eval_transducer.sh:88, decode_transducer.py:108-120): read Kaldi
+        # feature archives, splice/stride on host, CMVN, decode.
+        from pika_tpu.data.cmvn import CmvnStats, offset_scale
+        from pika_tpu.data.feats_loader import FeatsLoaderConfig, feats_dataloader
+        from pika_tpu.data.loader import prefetch_iter
+        from pika_tpu.decode.beam import beam_search_features
+
+        decode = jax.jit(
+            lambda f, l: beam_search_features(
+                model, variables, f, l, cfg, fst_tables, fst_start
+            )
+        )
         fbc = common.fbank_from_args(args)
-        min_samples = (args.min_len - 1) * fbc.frame_shift + fbc.frame_length
+        offset = scale = None
+        if args.cmvn_stats:
+            stats = CmvnStats.read(args.cmvn_stats)
+            offset, scale = offset_scale(
+                stats.stats, splice_copies=args.lctx + 1 + args.rctx)
+        fl_cfg = FeatsLoaderConfig(
+            batch_size=bsz, lctx=args.lctx, rctx=args.rctx,
+            stride=args.stride, max_len=args.max_len,
+        )
 
-    def make_chunk(chunk):
-        wavs = np.zeros((bsz, max_samples), np.float32)
-        lens = np.full(bsz, max_samples, np.int32)
-        audio = 0.0
-        for i, uttid in enumerate(chunk):
-            pcm, rate = read_wav(scp[uttid])
-            x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
-            x = x[:max_samples]
-            if len(x) < min_samples:
-                mode = "edge" if len(x) else "constant"
-                x = np.pad(x, (0, min(min_samples, max_samples) - len(x)), mode=mode)
-            wavs[i, : len(x)] = x
-            lens[i] = len(x)
-            audio += len(x) / rate
-        return chunk, wavs, lens, audio
+        def chunk_stream():
+            def gen():
+                for b in feats_dataloader(args.wav_scp, None, fl_cfg):
+                    feats, lens = b["feats"], b["feat_lens"]
+                    if args.min_len > 0:
+                        # bucket padding replicates the last valid frame, so
+                        # raising the length IS the reference's edge-pad
+                        # (decode_transducer.py:114-120)
+                        lens = np.minimum(np.maximum(lens, args.min_len),
+                                          feats.shape[1]).astype(np.int32)
+                    if args.cmn:
+                        feats = feats - feats.mean(axis=1, keepdims=True)
+                    if offset is not None:
+                        feats = (feats + offset) * scale
+                    if feats.shape[0] < bsz:  # ragged tail: pad the batch
+                        pad = bsz - feats.shape[0]
+                        feats = np.pad(feats, ((0, pad), (0, 0), (0, 0)))
+                        lens = np.pad(lens, (0, pad), constant_values=1)
+                    audio = (float(np.sum(lens[: len(b["uttids"])]))
+                             * args.stride * fbc.frame_shift
+                             / fbc.sample_frequency)
+                    yield (b["uttids"], feats.astype(np.float32),
+                           lens.astype(np.int32), audio)
 
-    def chunk_stream():
-        """Prefetch the next chunk's wav I/O while the device decodes.
-        Producer exceptions propagate to the consumer (a bad wav must abort
-        the run, not silently truncate it)."""
-        import queue as _q
-        import threading as _t
+            yield from prefetch_iter(gen(), size=2)
 
-        q: "_q.Queue" = _q.Queue(maxsize=2)
+    else:
+        decode = jax.jit(
+            lambda w, l: beam_search_waveforms(
+                model, variables, featurizer, w, l, cfg, fst_tables, fst_start
+            )
+        )
+        scp = read_wav_scp(args.wav_scp)
+        uttids = list(scp)
 
-        def producer():
-            try:
-                for i0 in range(0, len(uttids), bsz):
-                    q.put(("ok", make_chunk(uttids[i0 : i0 + bsz])))
-                q.put(("done", None))
-            except BaseException as exc:  # re-raised on the main thread
-                q.put(("error", exc))
+        min_samples = 0
+        if args.min_len > 0:
+            # frames = 1 + (n - frame_len)//shift → invert for min_len using
+            # the configured fbank geometry
+            fbc = common.fbank_from_args(args)
+            min_samples = (args.min_len - 1) * fbc.frame_shift + fbc.frame_length
 
-        _t.Thread(target=producer, daemon=True).start()
-        while True:
-            kind, item = q.get()
-            if kind == "error":
-                raise item
-            if kind == "done":
-                return
-            yield item
+        def make_chunk(chunk):
+            wavs = np.zeros((bsz, max_samples), np.float32)
+            lens = np.full(bsz, max_samples, np.int32)
+            audio = 0.0
+            for i, uttid in enumerate(chunk):
+                pcm, rate = read_wav(scp[uttid])
+                x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
+                x = x[:max_samples]
+                if len(x) < min_samples:
+                    mode = "edge" if len(x) else "constant"
+                    x = np.pad(x, (0, min(min_samples, max_samples) - len(x)), mode=mode)
+                wavs[i, : len(x)] = x
+                lens[i] = len(x)
+                audio += len(x) / rate
+            return chunk, wavs, lens, audio
+
+        def chunk_stream():
+            """Prefetch the next chunk's wav I/O while the device decodes.
+            Producer exceptions propagate to the consumer (a bad wav must abort
+            the run, not silently truncate it)."""
+            import queue as _q
+            import threading as _t
+
+            q: "_q.Queue" = _q.Queue(maxsize=2)
+
+            def producer():
+                try:
+                    for i0 in range(0, len(uttids), bsz):
+                        q.put(("ok", make_chunk(uttids[i0 : i0 + bsz])))
+                    q.put(("done", None))
+                except BaseException as exc:  # re-raised on the main thread
+                    q.put(("error", exc))
+
+            _t.Thread(target=producer, daemon=True).start()
+            while True:
+                kind, item = q.get()
+                if kind == "error":
+                    raise item
+                if kind == "done":
+                    return
+                yield item
 
     total_audio = 0.0
     with open(args.output_file, "w", encoding="utf-8") as out_f:
         for chunk, wavs, lens, audio in chunk_stream():
             total_audio += audio
+            n_utts += len(chunk)
             out = decode(jnp.asarray(wavs), jnp.asarray(lens))
 
             fw_scores = bw_scores = None
@@ -212,8 +273,8 @@ def main(argv=None):
 
     elapsed = time.perf_counter() - t_start
     rtf = elapsed / max(total_audio, 1e-9)
-    print(f"decoded {len(uttids)} utts, {total_audio:.1f}s audio in {elapsed:.1f}s "
-          f"(RTF {rtf:.4f}, {len(uttids) / elapsed:.2f} utt/s)", file=sys.stderr)
+    print(f"decoded {n_utts} utts, {total_audio:.1f}s audio in {elapsed:.1f}s "
+          f"(RTF {rtf:.4f}, {n_utts / elapsed:.2f} utt/s)", file=sys.stderr)
 
     if args.ref_labels:
         refs = {

@@ -18,6 +18,7 @@ from pika_tpu.train import common
 from pika_tpu.train.bundle import load_bundle, save_bundle
 from pika_tpu.train.las_step import make_las_train_step
 from pika_tpu.train.step import TrainState
+from pika_tpu.data.loader import prefetch_iter
 from pika_tpu.train.train_transducer import batch_stream, to_device_batch
 from pika_tpu.utils.logger import Logger
 
@@ -98,9 +99,10 @@ def main(argv=None):
         log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
         logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
         pending = []
-        for batch in batch_stream(args, loader_cfg, epoch):
+        for dev_batch in prefetch_iter(batch_stream(args, loader_cfg, epoch),
+                                       transform=to_device_batch):
             key, sub = jax.random.split(key)
-            state, metrics = step(state, to_device_batch(batch), sub,
+            state, metrics = step(state, dev_batch, sub,
                                   jnp.asarray(sampling_prob, jnp.float32))
             pending.append(metrics)
             if len(pending) >= 8:

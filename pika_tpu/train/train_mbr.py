@@ -20,6 +20,7 @@ from pika_tpu.train import common
 from pika_tpu.train.bundle import load_bundle, save_bundle
 from pika_tpu.train.mbr import make_mbr_step
 from pika_tpu.train.step import TrainState
+from pika_tpu.data.loader import prefetch_iter
 from pika_tpu.train.train_transducer import batch_stream, to_device_batch
 from pika_tpu.utils.logger import Logger
 
@@ -81,9 +82,10 @@ def main(argv=None):
                 )
             pending.clear()
 
-        for batch in batch_stream(args, loader_cfg, epoch):
+        for dev_batch in prefetch_iter(batch_stream(args, loader_cfg, epoch),
+                                       transform=to_device_batch):
             key, sub = jax.random.split(key)
-            state, metrics = step(state, to_device_batch(batch), sub)
+            state, metrics = step(state, dev_batch, sub)
             pending.append(metrics)
             if len(pending) >= 8:
                 drain()

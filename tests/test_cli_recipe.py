@@ -126,6 +126,45 @@ def test_full_recipe(tmp_path, rng):
     lines = open(f"{d}/nbest.txt").read().splitlines()
     assert len(lines) == 24 * 4
 
+    # 4a) precomputed-feature decode (--loader utt, the reference's
+    #     eval_transducer.sh:88 path): write a Kaldi feature ark with the
+    #     same fbank config, decode it, and require bitwise-identical
+    #     hypotheses to decoding the raw audio
+    import jax.numpy as jnp
+
+    from pika_tpu.data import segment as seg
+    from pika_tpu.data.kaldi_ark import write_matrix_ark
+    from pika_tpu.data.scp import read_wav_scp
+    from pika_tpu.data.wavio import read_wav
+    from pika_tpu.features import FbankConfig
+    from pika_tpu.features.fbank import make_fbank_fn
+
+    fbc = FbankConfig.from_conf(str(conf))
+    fb_fn = make_fbank_fn(fbc, max_samples=SR)
+    items = []
+    for uttid, wav_path in read_wav_scp(f"{d}/wav.scp").items():
+        pcm, _rate = read_wav(wav_path)
+        x = seg.from_float32(seg.to_float32(pcm), "int16").astype(np.float32)
+        w = np.zeros(SR, np.float32)
+        w[: len(x)] = x
+        feats, n = fb_fn(jnp.asarray(w[None]), jnp.asarray([len(x)], np.int32), key=None)
+        items.append((uttid, np.asarray(feats[0, : int(n[0])])))
+    write_matrix_ark(f"{d}/feats.ark", items)
+
+    plain_flags = [
+        *COMMON_FLAGS, "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--ref_labels", f"ark:{d}/label.txt",
+        "--beam_size", "4", "--n_best", "4", "--max_symbols", "8",
+    ]
+    wer_wav = eval_main([model_dir, f"{d}/wav.scp", f"{d}/nbest_wav_plain.txt",
+                         *plain_flags])
+    wer_utt = eval_main([model_dir, f"{d}/feats.ark", f"{d}/nbest_utt.txt",
+                         "--loader", "utt", *plain_flags])
+    assert wer_utt is not None and abs(wer_utt - wer_wav) < 1e-9
+    assert (open(f"{d}/nbest_utt.txt").read()
+            == open(f"{d}/nbest_wav_plain.txt").read())
+
     # 4b) BMUF training mode smoke (2 virtual devices, sync_period 2)
     os.makedirs(f"{d}/exp_bmuf", exist_ok=True)
     train_main([

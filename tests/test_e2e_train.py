@@ -54,6 +54,21 @@ def _make_corpus(tmp_path, n_utts, rng):
     return str(tmp_path / "data.lst"), wavs
 
 
+def test_loader_propagates_worker_errors(tmp_path, rng):
+    """A corrupt shard (here: an utterance missing from the label ark) must
+    raise in the consuming loop, not silently end the worker's stream and
+    shrink the epoch (VERDICT r1 weak #3)."""
+    data_lst, _ = _make_corpus(tmp_path, 8, rng)
+    # drop one utterance's labels
+    label_path = tmp_path / "label.txt"
+    lines = label_path.read_text().splitlines()
+    label_path.write_text("\n".join(lines[1:]) + "\n")
+    cfg = OtfLoaderConfig(batch_size=4, num_workers=2, augment=False)
+    with pytest.raises(RuntimeError, match="loader worker"):
+        for _ in dataloader(data_lst, cfg):
+            pass
+
+
 @pytest.mark.slow
 def test_end_to_end_train_decode_checkpoint(tmp_path, rng):
     data_lst, refs = _make_corpus(tmp_path, 24, rng)

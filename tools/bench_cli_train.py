@@ -1,0 +1,83 @@
+"""End-to-end CLI training throughput: synthetic corpus → the real
+``pika_tpu.train.train_transducer`` entry point (threaded loader + host
+augmentation + prefetch + device steps) on the flagship config.
+
+Run on the real chip:
+
+    PYTHONPATH=. python tools/bench_cli_train.py [--utts 400] [--epochs 2]
+
+Reports the per-epoch ``utt/s`` lines the trainer now writes (epoch 0
+includes compile; later epochs are steady state).  Comparable to bench.py:
+same flagship model, same 10 s waveform bucket (source utts are 9 s so
+every speed-perturbed variant still lands in the 10 s bucket), labels in
+the 32-bucket vs bench.py's fixed U=40.
+"""
+
+import argparse
+import re
+import time
+
+
+def make_corpus(root: str, n_utts: int, seconds: float, n_labels: int, vocab: int):
+    import numpy as np
+
+    from pika_tpu.data import MrkSeqWriter, write_int_vectors
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    labels = []
+    with MrkSeqWriter(f"{root}/bench.mrk", f"{root}/bench.seq") as w:
+        for i in range(n_utts):
+            pcm = (rng.standard_normal(int(sr * seconds)) * 4000).astype(np.int16)
+            uttid = f"utt{i:05d}"
+            w.write(uttid, pcm)
+            labels.append((uttid, rng.integers(1, vocab, n_labels).tolist()))
+        shards = list(w.shards)
+    write_int_vectors(f"{root}/label.txt", labels)
+    lst = f"{root}/data.lst"
+    with open(lst, "w") as f:
+        for mrk, seq in shards:
+            f.write(f"{mrk} {seq} ark:{root}/label.txt\n")
+    return lst
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--utts", type=int, default=400)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--seconds", type=float, default=9.0)
+    ap.add_argument("--labels", type=int, default=30)
+    ap.add_argument("--workers", type=int, default=4)
+    args = ap.parse_args()
+
+    import tempfile
+
+    from pika_tpu.train import train_transducer
+
+    root = tempfile.mkdtemp(prefix="bench_cli_")
+    lst = make_corpus(root, args.utts, args.seconds, args.labels, 6268)
+    log = f"{root}/train.log"
+    t0 = time.perf_counter()
+    train_transducer.main([
+        lst, log, root,
+        "--encoder_type", "transformer", "--decoder_type", "rnn",
+        "--rnn_size", "1024", "--enc_layers", "9", "--dec_layers", "2",
+        "--tdnn_nhid", "1024", "--tdnn_layers", "9",
+        "--embd_dim", "100", "--output_dim", "6268",
+        "--batch_size", "8", "--dp_mode", "sync", "--num_devices", "1",
+        "--num_epochs", str(args.epochs),
+        "--num_batches_per_epoch", str(max(1, args.utts // 8)),
+        "--initial_lr", "0.003", "--final_lr", "0.0001",
+        "--grad_clip", "3.0", "--spec_augment",
+        "--max_wav_seconds", "10.0",
+        "--num_workers", str(args.workers),
+    ])
+    total = time.perf_counter() - t0
+    for line in open(log):
+        if re.search(r"wall .*utt/s", line):
+            print(line.strip())
+    print(f"total wall (incl. compile + checkpoint saves): {total:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
