@@ -71,6 +71,23 @@ class _BeamState(NamedTuple):
     fin_align_lens: jnp.ndarray  # (B, N)
 
 
+def _dup_mask(hashes, lens, tokens):
+    """True where a beam duplicates an earlier (higher-ranked) beam's
+    emitted prefix.  The rolling hash + length equality is only a
+    prefilter: the actual token buffers must match too, so a ~2^-32 hash
+    collision can never silently merge two distinct hypotheses — the
+    reference compares real prefixes (beam_transducer.py:100-116).
+    Unwritten token positions are -1 and lengths must be equal, so
+    full-buffer equality is exactly prefix equality."""
+    k = hashes.shape[1]
+    same = (hashes[:, None, :] == hashes[:, :, None]) & (
+        lens[:, None, :] == lens[:, :, None]
+    ) & (lens[:, :, None] > 0)
+    same &= jnp.all(tokens[:, None, :, :] == tokens[:, :, None, :], axis=-1)
+    earlier = jnp.arange(k)[None, :] < jnp.arange(k)[:, None]
+    return jnp.any(same & earlier[None], axis=2)
+
+
 def _gather_beams(x, idx):
     """Gather along the beam axis: x (B, K, ...) by idx (B, K)."""
     return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
@@ -162,11 +179,7 @@ def beam_search(
         # --- duplicate-prefix pruning (beam order is score-descending) ---
         scores = st.scores
         if cfg.prune_dups:
-            same = (st.hashes[:, None, :] == st.hashes[:, :, None]) & (
-                st.lens[:, None, :] == st.lens[:, :, None]
-            ) & (st.lens[:, :, None] > 0)
-            earlier = jnp.arange(k)[None, :] < jnp.arange(k)[:, None]
-            dup = jnp.any(same & earlier[None], axis=2)
+            dup = _dup_mask(st.hashes, st.lens, st.tokens)
             scores = jnp.where(dup, NEG, scores)
 
         # --- joint over current (enc frame, dec state) -------------------
