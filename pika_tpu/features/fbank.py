@@ -174,7 +174,45 @@ def num_frames(num_samples, config: FbankConfig):
 # ---------------------------------------------------------------------------
 
 def fbank_numpy(samples: np.ndarray, config: FbankConfig, dither_rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Compute fbank features with a literal per-frame loop (test oracle)."""
+    """Compute fbank features with a literal per-frame loop (test oracle).
+
+    Per-operation provenance (Kaldi sources; PyKaldi binds these exact C++
+    functions, so this is the semantics the reference executes through
+    loader/otf_utt_loader.py:195-201):
+
+    * frame count, snip_edges=True: ``1 + (num_samples - frame_length) /
+      frame_shift`` — feature-window.cc ``NumFrames`` (the
+      ``snip_edges`` branch: ``(num_samples - window_size)/frame_shift + 1``).
+    * frame extraction at ``t*frame_shift`` — feature-window.cc
+      ``ExtractWindow`` with snip_edges (no reflection padding).
+    * dither: ``frame += dither * RandGauss()`` per sample, BEFORE dc/preemph
+      — feature-window.cc ``Dither`` called first in ``ProcessWindow``.
+    * remove_dc_offset: subtract the frame mean — ``ProcessWindow``
+      (``window->Add(-window->Sum()/frame_length)``).
+    * pre-emphasis: right-to-left ``w[i] -= c*w[i-1]`` with the boundary
+      convention ``w[0] -= c*w[0]`` — feature-window.cc ``Preemphasize``.
+    * window function applied AFTER preemph — ``ProcessWindow``;
+      coefficients in ``FeatureWindowFunction`` (hamming
+      ``0.54 - 0.46 cos``, povey ``(0.5 - 0.5 cos)^0.85``, denominator
+      ``frame_length - 1``).
+    * zero-pad to the next power of two, then real FFT; power spectrum
+      ``re^2 + im^2`` — feature-fbank.cc ``FbankComputer::Compute`` +
+      srfft; mel weights only read bins ``[0, N/2)`` (the Nyquist bin is
+      dropped: mel-computations.cc builds ``num_fft_bins = window/2``
+      triangles).
+    * mel filters: triangles linear in mel space, ``mel = 1127 ln(1+f/700)``
+      (``MelScale``), band edges ``low + i*delta`` with ``delta =
+      (mel_high - mel_low)/(num_bins+1)``; ``high_freq <= 0`` means
+      ``nyquist + high_freq`` — mel-computations.cc ``MelBanks::MelBanks``.
+    * log floor: ``log(max(e, FLT_EPSILON))`` (use_log_fbank) —
+      feature-fbank.cc (``ApplyFloor(FLT_EPSILON); ApplyLog()``).
+    * input scale: int16-valued floats (Kaldi wave data convention); the
+      reference converts augmented float32 audio back to int16 bytes before
+      feature extraction (otf_utt_loader.py:230-234).
+
+    Not implemented (unused by the reference's fbank.conf): use_energy,
+    raw_energy, snip_edges=False reflection, vtln warping, htk_compat.
+    """
     samples = np.asarray(samples, dtype=np.float64)
     n_frames = num_frames(len(samples), config)
     flen, fshift = config.frame_length, config.frame_shift
