@@ -96,6 +96,14 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--spec_augment", action="store_true")
     parser.add_argument("--max_freq_span", type=int, default=15)
     parser.add_argument("--max_time_span", type=int, default=35)
+    parser.add_argument("--async_save", action="store_true",
+                        help="fetch + write per-epoch checkpoints in a "
+                             "background thread (keep off when D2H contends "
+                             "with compute, e.g. tunneled transports)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=4,
+                        help="sync mode: train steps fused into one XLA "
+                             "dispatch + one H2D transfer (amortizes "
+                             "per-transfer transport latency)")
     parser.add_argument("--loss_chunk", type=int, default=16)
     parser.add_argument("--loss_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])

@@ -61,6 +61,9 @@ def make_featurizer(cfg: FeaturizerConfig, cmvn_offset=None, cmvn_scale=None):
     fbank = make_fbank_fn(cfg.fbank, cfg.max_samples)
 
     def featurize(key, wavs, wav_lens, train: bool = True):
+        # waveforms may arrive as int16 (the loader's values are integral;
+        # shipping int16 halves H2D bytes) — promote on device
+        wavs = wavs.astype(jnp.float32)
         kd, ks = (None, None) if key is None else jax.random.split(key)
         feats, frame_lens = fbank(wavs, wav_lens, key=kd if train else None)
         feats = splice(feats, cfg.lctx, cfg.rctx, frame_lens=frame_lens)

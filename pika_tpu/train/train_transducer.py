@@ -99,8 +99,19 @@ def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
                 yield b
 
 
+def _wavs_i16(key, v):
+    """Loader waveforms are int16-scale integral floats: shipping int16 is
+    lossless and halves H2D bytes (the transport is the CLI bottleneck —
+    tools/diag_transport.py); the featurizer promotes back to float32 on
+    device."""
+    if key == "wavs":
+        return np.clip(np.asarray(v), -32768, 32767).astype(np.int16)
+    return v
+
+
 def to_device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items() if k != "uttids"}
+    return {k: jnp.asarray(_wavs_i16(k, v))
+            for k, v in batch.items() if k != "uttids"}
 
 
 def main(argv=None):
@@ -158,13 +169,76 @@ def main(argv=None):
     if args.dp_mode == "sync":
         import jax.numpy as _jnp
 
+        from pika_tpu.parallel.mesh import data_sharding, replicated
+
         cdt = _jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
         step = make_train_step(model, tx, featurizer,
                                loss_chunk=args.loss_chunk,
                                loss_backend=args.loss_backend,
                                compute_dtype=cdt, donate=True, jit=False)
-        dp_step = jit_dp(step, mesh)
+        n_per_dispatch = max(1, args.steps_per_dispatch)
+
+        # K train steps per dispatch: one H2D transfer + one XLA program
+        # per group of same-shape batches.  The host→device transport has
+        # a fixed per-transfer latency and contends with compute
+        # (tools/diag_transport.py), so amortizing it across K steps is
+        # the main end-to-end throughput lever.  Short tail groups are
+        # padded with a repeated batch and masked out via `apply`
+        # (the state update is a no-op where apply is False).
+        def multi_step(state, xs, key):
+            def body(carry, x):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                new_st, m = step(st, x["batch"], sub)
+                new_st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(x["apply"], a, b), new_st, st)
+                m = {kk: jnp.where(x["apply"], vv, jnp.zeros_like(vv))
+                     for kk, vv in m.items()}
+                return (new_st, k), m
+            (state, _), ms = jax.lax.scan(body, (state, key), xs)
+            return state, ms
+
+        rep = replicated(mesh)
+        dsh = data_sharding(mesh, leading_unsharded=1)
+        dp_step = jax.jit(
+            multi_step,
+            in_shardings=(rep, {"batch": dsh, "apply": rep}, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
         state = replicate_tree(state, mesh)
+
+        def group_batches(stream):
+            """Group host batches of identical bucket shape into runs of
+            n_per_dispatch (shape-homogeneous groups keep the number of
+            compiled programs at one per bucket shape)."""
+            pend = {}
+            for b in stream:
+                shape = (b["wavs"].shape[1], b["labels"].shape[1])
+                g = pend.setdefault(shape, [])
+                g.append(b)
+                if len(g) == n_per_dispatch:
+                    yield g, n_per_dispatch
+                    pend[shape] = []
+            for g in pend.values():
+                if g:
+                    yield g, len(g)
+
+        def pack_group(item):
+            """Stack a group on host, pad ragged tails, ship ONE transfer."""
+            g, n_real = item
+            g = list(g) + [g[-1]] * (n_per_dispatch - len(g))
+            stacked = {
+                k: np.stack([np.asarray(b[k]) for b in g])
+                for k in g[0] if k != "uttids"
+            }
+            apply = np.arange(n_per_dispatch) < n_real
+            dev = {
+                "batch": {k: jax.device_put(_wavs_i16(k, v), dsh)
+                          for k, v in stacked.items()},
+                "apply": jax.device_put(apply, rep),
+            }
+            return dev, n_real
 
         def run_epoch(epoch, state):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
@@ -174,29 +248,33 @@ def main(argv=None):
                           # serialize host and device)
 
             def drain():
-                for m in pending:
-                    loss_val = float(m["loss"])
-                    if loss_val != loss_val:  # NaN health check (bmuf.py:89-90)
-                        log_f.write("NaN loss detected — stopping\n")
-                        sys.exit(1)
-                    logger.update_and_log(int(m["num_labels"]), [loss_val])
+                for ms, n_real in pending:
+                    labels = np.asarray(ms["num_labels"])
+                    losses = np.asarray(ms["loss"])
+                    for j in range(n_real):
+                        loss_val = float(losses[j])
+                        if loss_val != loss_val:  # NaN health check (bmuf.py:89-90)
+                            log_f.write("NaN loss detected — stopping\n")
+                            sys.exit(1)
+                        logger.update_and_log(int(labels[j]), [loss_val])
                 pending.clear()
 
-            # host loading/augmentation + H2D transfer run in a prefetch
-            # thread so they overlap with the device step (VERDICT r1
-            # weak #5: the synchronous feed left the host as bottleneck)
+            # host loading/augmentation, stacking and the H2D transfer run
+            # in a prefetch thread so they overlap with the device steps
             stream = prefetch_iter(
-                batch_stream(args, loader_cfg, epoch),
-                transform=lambda b: shard_batch(to_device_batch(b), mesh),
+                group_batches(batch_stream(args, loader_cfg, epoch)),
+                transform=pack_group,
             )
-            for i, dev_batch in enumerate(stream):
+            n_batches = 0
+            for dev, n_real in stream:
                 key, sub = jax.random.split(key)
-                state, metrics = dp_step(state, dev_batch, sub)
-                utt_box[0] += loader_cfg.batch_size
-                pending.append(metrics)
-                if len(pending) >= 8:
+                state, metrics = dp_step(state, dev, sub)
+                utt_box[0] += loader_cfg.batch_size * n_real
+                n_batches += n_real
+                pending.append((metrics, n_real))
+                if len(pending) * n_per_dispatch >= 8:
                     drain()
-                if args.save_every_n_batches and (i + 1) % args.save_every_n_batches == 0:
+                if args.save_every_n_batches and n_batches % args.save_every_n_batches < n_real:
                     drain()
                     save_bundle(f"{args.output_dir}/model.tmp", "transducer", cfg,
                                 _variables_out(jax.device_get(state.params),
@@ -261,12 +339,17 @@ def main(argv=None):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
             key = jax.random.PRNGKey(args.seed + epoch)
             pending = []
-            for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch),
-                                       transform=to_device_batch):
+            # stack the sync period on HOST and ship one transfer — feeding
+            # device arrays into np.stack would round-trip them D2H
+            def stack_and_ship(batches):
+                stacked = _stack_batches(batches)
+                return {k: jnp.asarray(_wavs_i16(k, v))
+                        for k, v in stacked.items()}
+
+            for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch)):
                 pending.append(batch)
                 if len(pending) == args.sync_period:
-                    # pad batches to a common bucket before stacking
-                    stacked = _stack_batches(pending)
+                    stacked = stack_and_ship(pending)
                     key, sub = jax.random.split(key)
                     nonlocal_stats = stats_box[0]
                     bstate_, new_stats, ok, metrics = round_fn(
@@ -308,47 +391,81 @@ def main(argv=None):
                     f"{tot_loss / max(tot_labels, 1.0):.4f} <===\n")
         log_f.flush()
 
+    import threading as _threading
     import time as _time
+
+    # Per-epoch saving runs in a background thread on a DEVICE-SIDE COPY of
+    # the state: the D2H fetch of the full parameters (hundreds of MB) and
+    # the file writes then overlap with the next epoch's compute instead of
+    # stalling the training loop.  The copy (jnp.copy) makes this safe
+    # against buffer donation by the next epoch's dispatches.
+    saver_box = [None]
+
+    def _spawn_saver(epoch, snap_state, snap_extra):
+        if saver_box[0] is not None:
+            saver_box[0].join()
+
+        def saver():
+            if args.dp_mode == "sync":
+                host = jax.device_get(snap_state)
+                params_out, stats_out = host.params, host.batch_stats
+                save_checkpoint(ckpt_dir, epoch, host, metadata={"epoch": epoch})
+            else:
+                bst, stats, steps = snap_extra
+                host_b = jax.device_get(bst)
+                params_out = host_b.params
+                stats_out = jax.device_get(stats) if stats is not None else None
+                save_checkpoint(
+                    ckpt_dir, epoch,
+                    {"bstate": host_b, "stats": stats_out,
+                     "steps": jnp.asarray(steps, jnp.int32)},
+                    metadata={"epoch": epoch},
+                )
+            save_bundle(
+                f"{args.output_dir}/model.epoch.{epoch}", "transducer", cfg,
+                _variables_out(params_out, stats_out), metadata={"epoch": epoch},
+            )
+
+        if args.async_save:
+            t = _threading.Thread(target=saver, daemon=False)
+            t.start()
+            saver_box[0] = t
+        else:
+            # on transports where D2H contends with compute (measured on
+            # the axon tunnel: background fetches doubled epoch time), the
+            # synchronous fetch between epochs is faster overall
+            saver()
+
+    _copy_tree = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
 
     for epoch in range(start_epoch, args.num_epochs):
         log_f.write(f"===> Epoch {epoch} <===\n")
         log_f.flush()
         utt_box[0] = 0
         t_epoch = _time.perf_counter()
+        snap = _copy_tree if args.async_save else (lambda x: x)
         if args.dp_mode == "sync":
             state = run_epoch(epoch, state)
-            params_out = jax.device_get(state.params)
-            stats_out = jax.device_get(state.batch_stats)
+            float(state.step)  # host materialization = reliable device sync
+            snap_state, snap_extra = snap(state), None
+            val_params, val_stats = state.params, state.batch_stats
         else:
             bstate = run_epoch(epoch, bstate)
-            params_out = jax.device_get(bstate.params)
-            stats_out = jax.device_get(stats_box[0]) if stats_box[0] is not None else None
+            float(jax.tree_util.tree_leaves(bstate.params)[0].ravel()[0])
+            snap_state = None
+            snap_extra = (snap(bstate),
+                          snap(stats_box[0]) if stats_box[0] is not None else None,
+                          step_box[0])
+            val_params, val_stats = bstate.params, stats_box[0]
         dt = _time.perf_counter() - t_epoch
-        # device_get of the full params above forces completion of every
-        # dispatched step, so the wall time is an honest epoch bound
         log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {utt_box[0]} utts, "
                     f"{utt_box[0] / max(dt, 1e-9):.1f} utt/s <===\n")
         log_f.flush()
-        save_bundle(
-            f"{args.output_dir}/model.epoch.{epoch}", "transducer", cfg,
-            _variables_out(params_out, stats_out), metadata={"epoch": epoch},
-        )
-        if args.dp_mode == "sync":
-            # full-state checkpoint (params + optimizer + BN stats) so
-            # --resume continues exactly, momentum included — the reference
-            # restarts the optimizer on resume (SURVEY.md §5.4)
-            save_checkpoint(ckpt_dir, epoch, jax.device_get(state),
-                            metadata={"epoch": epoch})
-        else:
-            save_checkpoint(
-                ckpt_dir, epoch,
-                {"bstate": jax.device_get(bstate),
-                 "stats": jax.device_get(stats_box[0]) if stats_box[0] is not None else None,
-                 "steps": jnp.asarray(step_box[0], jnp.int32)},
-                metadata={"epoch": epoch},
-            )
+        _spawn_saver(epoch, snap_state, snap_extra)
         if eval_step is not None:
-            run_validation(params_out, stats_out, epoch)
+            run_validation(val_params, val_stats, epoch)
+    if saver_box[0] is not None:
+        saver_box[0].join()
     log_f.write("Training Finished\n")
     log_f.close()
 
@@ -361,7 +478,8 @@ def _variables_out(params, batch_stats=None):
 
 
 def _stack_batches(batches):
-    """Stack a sync period of batches, padding to the largest bucket."""
+    """Stack a sync period of HOST batches, padding to the largest bucket.
+    Returns numpy arrays — the caller ships them in one transfer."""
     keys = [k for k in batches[0] if k != "uttids"]
     out = {}
     for k in keys:
@@ -372,7 +490,7 @@ def _stack_batches(batches):
                 np.pad(a, [(0, 0), (0, dim - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
                 for a in arrs
             ]
-        out[k] = jnp.asarray(np.stack(arrs))
+        out[k] = np.stack(arrs)
     return out
 
 
