@@ -187,10 +187,10 @@ def joint_channels_pallas(
 # ---------------------------------------------------------------------------
 
 def _bwd_in_kernel(labels_ref,
-                   ax_ref, gx_ref, ay_ref, gy_ref, w2_ref, b2_ref,
+                   h_ref, ax_ref, gx_ref, ay_ref, gy_ref, w2_ref, b2_ref,
                    lse_ref, dl_ref, db_ref, dy_ref,
                    dax_ref, dgx_ref, day_ref, dgy_ref,
-                   h_scr, dh_scr,
+                   dh_scr,
                    *, block_u: int, block_v: int, mm_dtype):
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -202,20 +202,16 @@ def _bwd_in_kernel(labels_ref,
 
     @pl.when(vi == 0)
     def _init():
-        ax = ax_ref[0].astype(jnp.float32)
-        gx = gx_ref[0].astype(jnp.float32)
-        for u in range(block_u):
-            th = jnp.tanh(ax + ay_ref[0, u, :].astype(jnp.float32)[None, :])
-            ga = jax.nn.sigmoid(gx + gy_ref[0, u, :].astype(jnp.float32)[None, :])
-            h_scr[u] = (th * ga).astype(mm_dtype)
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     w2 = w2_ref[...]
     b2 = b2_ref[0]
     col0 = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_v), 1) + vi * block_v
     for u in range(block_u):
+        # h(t, u) cached to HBM once by the wrapper (bf16) — removes the
+        # per-tile tanh/sigmoid recompute of round 1
         z = jax.lax.dot_general(
-            h_scr[u], w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            h_ref[0, u], w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) + b2[None, :]
         p = jnp.exp(jnp.minimum(z - lse_ref[0, u, :][:, None], 40.0))
         dz = dl_ref[0, u, :][:, None] * p
@@ -260,7 +256,7 @@ def _bwd_in_kernel(labels_ref,
 # ---------------------------------------------------------------------------
 
 def _bwd_w_kernel(labels_ref,
-                  ax_ref, gx_ref, ay_ref, gy_ref, w2_ref, b2_ref,
+                  h_ref, w2_ref, b2_ref,
                   lse_ref, dl_ref, db_ref, dy_ref,
                   dw2_ref, db2_ref,
                   *, block_u: int, block_v: int, mm_dtype):
@@ -268,7 +264,7 @@ def _bwd_w_kernel(labels_ref,
     b = pl.program_id(1)
     ti = pl.program_id(2)
     ui = pl.program_id(3)
-    block_t = ax_ref.shape[1]
+    block_t = h_ref.shape[2]
     first = (b == 0) & (ti == 0) & (ui == 0)
 
     @pl.when(first)
@@ -278,15 +274,13 @@ def _bwd_w_kernel(labels_ref,
 
     w2 = w2_ref[...]
     b2 = b2_ref[0]
-    ax = ax_ref[0].astype(jnp.float32)
-    gx = gx_ref[0].astype(jnp.float32)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_v), 1) + vi * block_v
     dw_acc = jnp.zeros_like(dw2_ref)
     db_acc = jnp.zeros((1, block_v), jnp.float32)
     for u in range(block_u):
-        th = jnp.tanh(ax + ay_ref[0, u, :].astype(jnp.float32)[None, :])
-        ga = jax.nn.sigmoid(gx + gy_ref[0, u, :].astype(jnp.float32)[None, :])
-        h = (th * ga).astype(mm_dtype)
+        # cached h removes the V-outermost grid's per-(u, v-tile)
+        # tanh/sigmoid recompute (it ran nv times per cell in round 1)
+        h = h_ref[0, u]
         z = jax.lax.dot_general(
             h, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) + b2[None, :]
@@ -311,11 +305,9 @@ def joint_channels_pallas_bwd(
     block_t: int = 128, block_u: int = 8, block_v: int = 512,
     mm_dtype=jnp.bfloat16,
 ):
-    # VMEM budget note: the input-grad kernel's h + dh scratch plus the
-    # double-buffered ax/gx/w2 inputs and dax/dgx output accumulators sit
-    # close to the 16MB scoped-VMEM limit; dh therefore accumulates in
-    # mm_dtype (bf16 in production — the ~0.4% relative accumulation error
-    # over ~a dozen V tiles is far below SGD noise; f32 in parity tests).
+    # VMEM budget note: the input-grad kernel's dh scratch plus the
+    # double-buffered h/ax/gx/w2 inputs and dax/dgx output accumulators sit
+    # close to the 16MB scoped-VMEM limit; see the scratch_shapes comment.
     """Gradients (d_ax, d_gx, d_ay, d_gy, d_w2, d_b2) given channel
     cotangents.  ``lse`` is re-used from the forward pass; z is recomputed
     tile-by-tile."""
@@ -334,8 +326,18 @@ def joint_channels_pallas_bwd(
     lse_t, dl_t, db_t, dy_t = tr(lse), tr(d_lse), tr(d_zb), tr(d_zy)
     nt, nu, nv = tp // block_t, u1p // block_u, vp // block_v
 
+    # h(t, u) computed ONCE (one fused XLA elementwise pass, bf16 to HBM)
+    # and consumed by both backward kernels, instead of recomputing
+    # tanh/sigmoid per grid cell — in the V-outermost weight-grad kernel
+    # the recompute ran nv times per (b, t, u) tile (ROUND1 follow-up).
+    h_cache = (
+        jnp.tanh(ax_p[:, None, :, :] + ay_p[:, :, None, :])
+        * jax.nn.sigmoid(gx_p[:, None, :, :] + gy_p[:, :, None, :])
+    ).astype(mm_dtype)  # (B, U1p, Tp, H)
+
     x_spec = pl.BlockSpec((1, block_t, h), lambda bb, ti, ui, vi, *_: (bb, ti, 0), memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec((1, block_u, h), lambda bb, ti, ui, vi, *_: (bb, ui, 0), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, block_u, block_t, h), lambda bb, ti, ui, vi, *_: (bb, ui, ti, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((h, block_v), lambda bb, ti, ui, vi, *_: (0, vi), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, block_v), lambda bb, ti, ui, vi, *_: (0, vi), memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec((1, block_u, block_t), lambda bb, ti, ui, vi, *_: (bb, ui, ti), memory_space=pltpu.VMEM)
@@ -343,7 +345,7 @@ def joint_channels_pallas_bwd(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, nt, nu, nv),
-        in_specs=[x_spec, x_spec, y_spec, y_spec, w_spec, bias_spec,
+        in_specs=[h_spec, x_spec, x_spec, y_spec, y_spec, w_spec, bias_spec,
                   chan_spec, chan_spec, chan_spec, chan_spec],
         out_specs=[
             pl.BlockSpec((1, block_t, h), lambda bb, ti, ui, vi, *_: (bb, ti, 0), memory_space=pltpu.VMEM),
@@ -352,8 +354,11 @@ def joint_channels_pallas_bwd(
             pl.BlockSpec((1, 1, block_u, h), lambda bb, ti, ui, vi, *_: (bb, ti, ui, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_u, block_t, h), mm_dtype),  # h = tanh*sig (recomputed at flush)
-            pltpu.VMEM((block_u, block_t, h), mm_dtype),  # dh accumulator (see note above)
+            # dh accumulates in mm_dtype: an f32 accumulator was tried with
+            # the VMEM freed by the h cache but still exceeds the 16MB
+            # scoped-VMEM limit by ~0.6MB (bf16's ~0.4% accumulation error
+            # over ~a dozen V tiles is far below SGD noise; f32 in tests)
+            pltpu.VMEM((block_u, block_t, h), mm_dtype),
         ],
     )
     kernel = functools.partial(
@@ -369,17 +374,14 @@ def joint_channels_pallas_bwd(
             jax.ShapeDtypeStruct((bsz, nt, u1p, h), jnp.float32),
         ],
         interpret=_interpret(),
-    )(labels_p, ax_p, gx_p, ay_p, gy_p, w2_p, b2_p.reshape(1, -1),
+    )(labels_p, h_cache, ax_p, gx_p, ay_p, gy_p, w2_p, b2_p.reshape(1, -1),
       lse_t, dl_t, db_t, dy_t)
 
     grid_spec_w = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nv, bsz, nt, nu),
         in_specs=[
-            pl.BlockSpec((1, block_t, h), lambda vi, bb, ti, ui, *_: (bb, ti, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_t, h), lambda vi, bb, ti, ui, *_: (bb, ti, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_u, h), lambda vi, bb, ti, ui, *_: (bb, ui, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_u, h), lambda vi, bb, ti, ui, *_: (bb, ui, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_u, block_t, h), lambda vi, bb, ti, ui, *_: (bb, ui, ti, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h, block_v), lambda vi, bb, ti, ui, *_: (0, vi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_v), lambda vi, bb, ti, ui, *_: (0, vi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_u, block_t), lambda vi, bb, ti, ui, *_: (bb, ui, ti), memory_space=pltpu.VMEM),
@@ -404,7 +406,7 @@ def joint_channels_pallas_bwd(
             jax.ShapeDtypeStruct((1, vp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(labels_p, ax_p, gx_p, ay_p, gy_p, w2_p, b2_p.reshape(1, -1),
+    )(labels_p, h_cache, w2_p, b2_p.reshape(1, -1),
       lse_t, dl_t, db_t, dy_t)
 
     return (

@@ -53,7 +53,9 @@ def main():
             def run(ax_, n):
                 def body(c, _):
                     out = fn(ax_ + c * 1e-12, gx, ay, gy, w2, b2)
-                    s = out if mode == "fwd" else out[0].sum()
+                    # consume EVERY gradient, or XLA dead-code-eliminates
+                    # entire backward kernels (e.g. the dW2 pass)
+                    s = out if mode == "fwd" else sum(g.sum() for g in out)
                     return c + s * 1e-20, s
                 c, outs = jax.lax.scan(body, jnp.float32(0), None, length=args.reps)
                 return c
