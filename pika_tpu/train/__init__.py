@@ -6,6 +6,7 @@ from pika_tpu.train.step import (
     FeaturizerConfig,
     make_featurizer,
     make_train_step,
+    make_scanned_step,
     make_eval_step,
     transducer_loss,
 )

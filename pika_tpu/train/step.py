@@ -198,6 +198,33 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_scanned_step(step_fn: Callable) -> Callable:
+    """Wrap a ``(state, batch, key) -> (state, metrics)`` step into a
+    K-steps-per-dispatch scan: ``(state, xs, key) -> (state, metrics[K])``
+    with ``xs = {"batch": <dict of (K, ...) arrays>, "apply": (K,) bool}``.
+
+    One XLA program + one H2D transfer covers K batches (amortizing
+    per-dispatch/transfer latency); ragged tail groups are padded with a
+    repeated batch and masked out exactly — where ``apply`` is False the
+    state update is a no-op and metrics are zeroed.
+    """
+
+    def multi_step(state, xs, key):
+        def body(carry, x):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            new_st, m = step_fn(st, x["batch"], sub)
+            new_st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(x["apply"], a, b), new_st, st)
+            m = {kk: jnp.where(x["apply"], vv, jnp.zeros_like(vv))
+                 for kk, vv in m.items()}
+            return (new_st, k), m
+        (state, _), ms = jax.lax.scan(body, (state, key), xs)
+        return state, ms
+
+    return multi_step
+
+
 def make_eval_step(model, featurizer, loss_chunk: int = 32, loss_backend: str = "auto"):
     def step_fn(state: TrainState, batch):
         feats, feat_lens = featurizer(None, batch["wavs"], batch["wav_lens"], False)

@@ -182,21 +182,10 @@ def main(argv=None):
         # per group of same-shape batches.  The host→device transport has
         # a fixed per-transfer latency and contends with compute
         # (tools/diag_transport.py), so amortizing it across K steps is
-        # the main end-to-end throughput lever.  Short tail groups are
-        # padded with a repeated batch and masked out via `apply`
-        # (the state update is a no-op where apply is False).
-        def multi_step(state, xs, key):
-            def body(carry, x):
-                st, k = carry
-                k, sub = jax.random.split(k)
-                new_st, m = step(st, x["batch"], sub)
-                new_st = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(x["apply"], a, b), new_st, st)
-                m = {kk: jnp.where(x["apply"], vv, jnp.zeros_like(vv))
-                     for kk, vv in m.items()}
-                return (new_st, k), m
-            (state, _), ms = jax.lax.scan(body, (state, key), xs)
-            return state, ms
+        # the main end-to-end throughput lever.
+        from pika_tpu.train.step import make_scanned_step
+
+        multi_step = make_scanned_step(step)
 
         rep = replicated(mesh)
         dsh = data_sharding(mesh, leading_unsharded=1)

@@ -141,3 +141,48 @@ def test_end_to_end_train_decode_checkpoint(tmp_path, rng):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         state.params, restored.params,
     )
+
+
+def test_scanned_step_tail_masking_is_exact(rng):
+    """make_scanned_step with apply=[True, False] (a padded tail group)
+    must produce EXACTLY the state of running only the real step: padded
+    steps are no-ops, not approximations."""
+    from pika_tpu.features import FbankConfig
+    from pika_tpu.train import (
+        FeaturizerConfig, TrainState, make_featurizer, make_optimizer,
+        make_scanned_step, make_train_step,
+    )
+
+    fb = FbankConfig(sample_frequency=SR, window_type="hamming", dither=0.0,
+                     low_freq=40.0, high_freq=-200.0, num_mel_bins=12)
+    featurizer = make_featurizer(FeaturizerConfig(fbank=fb, max_samples=SR))
+    cfg = TransducerConfig(input_dim=12, vocab_size=VOCAB, hid_dim=16,
+                           enc_layers=1, dec_layers=1, embd_dim=8)
+    model, variables = init_transducer(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer("sgd", 0.05, 0.01, 100, momentum=0.9, grad_clip=3.0)
+    state0 = TrainState(step=jnp.zeros((), jnp.int32),
+                        params=variables["params"],
+                        opt_state=tx.init(variables["params"]))
+    step = make_train_step(model, tx, featurizer, jit=False)
+    multi = make_scanned_step(step)
+
+    batch = {
+        "wavs": jnp.asarray((rng.standard_normal((2, SR)) * 3000).astype(np.float32)),
+        "wav_lens": jnp.asarray([SR, SR - 4000], jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, VOCAB, (2, 4)).astype(np.int32)),
+        "label_lens": jnp.asarray([4, 3], jnp.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def stack(k):  # k copies along a leading scan axis
+        return {kk: jnp.stack([vv] * k) for kk, vv in batch.items()}
+
+    s1, m1 = jax.jit(multi)(state0, {"batch": stack(1),
+                                     "apply": jnp.asarray([True])}, key)
+    s2, m2 = jax.jit(multi)(state0, {"batch": stack(2),
+                                     "apply": jnp.asarray([True, False])}, key)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s1, s2)
+    assert float(m2["loss"][1]) == 0.0 and int(m2["num_labels"][1]) == 0
+    assert float(m2["loss"][0]) == float(m1["loss"][0])
