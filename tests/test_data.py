@@ -171,3 +171,19 @@ def test_shuffle_by_length(tmp_path):
     # utterances longer than 200 dropped
     assert all(int(l.split()[1]) <= 200 for l in lines)
     assert len(kept) > 0
+
+
+def test_prefetch_iter_propagates_errors_and_preserves_order():
+    from pika_tpu.data.loader import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(10)), transform=lambda x: x * 2)) == \
+        [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="prefetch producer"):
+        list(prefetch_iter(bad()))
