@@ -46,9 +46,9 @@ python -m pika_tpu.train.train_transducer \
     $data/train/data.lst $exp/train.log $exp \
     --feat_config $conf \
     --cmvn_stats $data/train/global_cmvn.stats \
-    --initial_lr 0.004 --final_lr 0.0004 \
+    --optim adam --initial_lr 0.002 --final_lr 0.0002 \
     --grad_clip 3.0 --momentum 0.9 \
-    --num_epochs 30 --num_batches_per_epoch 94 \
+    --num_epochs 60 --num_batches_per_epoch 94 \
     --batch_size 16 \
     --encoder_type transformer --enc_layers 9 --tdnn_nhid 256 --tdnn_layers 9 \
     --decoder_type rnn --dec_layers 1 \
@@ -56,14 +56,14 @@ python -m pika_tpu.train.train_transducer \
     --output_dim 31 \
     --feats_dim 40 --lctx 1 --rctx 1 --stride 1 \
     --speed_rate 0.9,1.0,1.1 --gain_range 55,10 \
-    --noise_lst $data/noise.lst --snr_range 5,20 \
-    --spec_augment --max_freq_span 8 --max_time_span 20 \
+    --noise_lst $data/noise.lst --snr_range 8,20 \
+    --spec_augment --max_freq_span 8 --max_time_span 10 \
     --max_wav_seconds 4.0 \
     --dp_mode sync --num_devices 1
 
 echo "=== stage 4: batch decode the noisy held-out test set + WER ==="
 python -m pika_tpu.train.eval_transducer \
-    $exp/model.epoch.29 $data/test/wav.scp $work/nbest.txt \
+    $exp/model.epoch.59 $data/test/wav.scp $work/nbest.txt \
     --feat_config $conf \
     --cmvn_stats $data/train/global_cmvn.stats \
     --ref_labels ark:$data/test/label.txt \

@@ -99,12 +99,17 @@ def main(argv=None):
         log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
         logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
         pending = []
+        import time as _time
+
+        t_epoch = _time.perf_counter()
+        n_utts = 0
         for dev_batch in prefetch_iter(batch_stream(args, loader_cfg, epoch),
                                        transform=to_device_batch):
             key, sub = jax.random.split(key)
             state, metrics = step(state, dev_batch, sub,
                                   jnp.asarray(sampling_prob, jnp.float32))
             pending.append(metrics)
+            n_utts += loader_cfg.batch_size
             if len(pending) >= 8:
                 for m in pending:
                     logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
@@ -112,6 +117,9 @@ def main(argv=None):
         for m in pending:
             logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
         logger.summarize_and_log()
+        dt = _time.perf_counter() - t_epoch
+        log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
+                    f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
         save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "las", cfg,
                     {"params": jax.device_get(state.params)},
                     metadata={"epoch": epoch, "reverse_labels": args.reverse_labels})

@@ -69,10 +69,14 @@ def main(argv=None):
     )
     key = jax.random.PRNGKey(args.seed)
     num_done = 0
+    import time as _time
+
     for epoch in range(args.num_epochs):
         log_f.write(f"===> Epoch {epoch} <===\n")
         logger = Logger(log_f, args.log_per_n_frames, ["MBR Loss", "RNNT Loss"])
         pending = []
+        t_epoch = _time.perf_counter()
+        n_utts = 0
 
         def drain():
             for m in pending:
@@ -87,6 +91,7 @@ def main(argv=None):
             key, sub = jax.random.split(key)
             state, metrics = step(state, dev_batch, sub)
             pending.append(metrics)
+            n_utts += loader_cfg.batch_size
             if len(pending) >= 8:
                 drain()
             num_done += 1
@@ -96,6 +101,9 @@ def main(argv=None):
                             model.config, {"params": jax.device_get(state.params)})
         drain()
         logger.summarize_and_log()
+        dt = _time.perf_counter() - t_epoch
+        log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
+                    f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
         save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "transducer",
                     model.config, {"params": jax.device_get(state.params)},
                     metadata={"epoch": epoch})

@@ -27,8 +27,13 @@ VOCAB = 30  # token ids 1..30 (blank 0)
 
 
 def token_formants(tok: int):
-    f1 = 320.0 + 120.0 * (tok % 6)          # 320..920
-    f2 = 1000.0 + 210.0 * ((3 * tok) % 10)  # 1000..2890
+    """30 tokens on a 6x5 (F1, F2) grid.  Grid spacing (>=20% in F1,
+    >=16% in F2) exceeds the combined speaker-scale x speed-perturb
+    variation (~±14%), so tokens stay separable — hard, not ill-posed."""
+    i = (tok - 1) % 6
+    j = (tok - 1) // 6
+    f1 = 300.0 + 140.0 * i     # 300..1000
+    f2 = 1150.0 + 480.0 * j    # 1150..3070
     return f1, f2
 
 
@@ -56,7 +61,7 @@ def synth_token(tok, f0, scale, dur_s, rng):
 
 def synth_utt(toks, rng):
     f0 = rng.uniform(90.0, 220.0)
-    scale = rng.uniform(0.88, 1.18)
+    scale = rng.uniform(0.94, 1.08)
     pieces = [np.zeros(int(rng.uniform(0.03, 0.07) * SR))]
     for tok in toks:
         pieces.append(synth_token(int(tok), f0, scale,
@@ -68,13 +73,24 @@ def synth_utt(toks, rng):
 
 
 def synth_noise(dur_s, rng):
-    """Babble-ish: overlapping random formant tokens + pink-ish noise."""
+    """Babble-ish: overlapping OUT-OF-VOCABULARY formant bursts (random
+    continuous formants, not grid tokens — in-vocab babble would inject
+    competing labels and make the task ill-posed) + pink-ish noise."""
     n = int(dur_s * SR)
     x = np.zeros(n)
     for _ in range(int(dur_s * 6)):
-        tok = int(rng.integers(1, VOCAB + 1))
-        piece = synth_token(tok, rng.uniform(90, 220), rng.uniform(0.85, 1.2),
-                            rng.uniform(0.1, 0.25), rng)
+        f0 = rng.uniform(90, 220)
+        dur = rng.uniform(0.1, 0.25)
+        m = int(dur * SR)
+        t = np.arange(m) / SR
+        piece = np.zeros(m)
+        for _k in range(2):
+            form = rng.uniform(400, 2800)
+            for kk in range(1, int(4200 / f0) + 1):
+                fk = kk * f0
+                w = np.exp(-0.5 * ((fk - form) / 130.0) ** 2)
+                if w > 1e-3:
+                    piece += w * np.sin(2 * np.pi * fk * t + rng.uniform(0, 2 * np.pi))
         off = int(rng.integers(0, max(1, n - len(piece))))
         x[off : off + len(piece)] += 0.4 * piece
     white = rng.standard_normal(n)
