@@ -49,6 +49,10 @@ class FeatsLoaderConfig:
     ctc: bool = False
     frame_buckets: Sequence[int] = (256, 512, 1024, 2048)
     label_buckets: Sequence[int] = (16, 32, 64, 128)
+    # Buffered shuffle for training (the reference utt loader's
+    # --buffer_size, loader/utt_loader.py:26-27): 0 = sequential order.
+    shuffle_buffer: int = 0
+    seed: int = 0
 
 
 def _bucket(value, ladder):
@@ -56,6 +60,21 @@ def _bucket(value, ladder):
         if value <= b:
             return b
     return None
+
+
+def _shuffled(it, buffer_size: int, seed: int):
+    """Buffered shuffle: keep ``buffer_size`` items; emit a random one as
+    each new item arrives (reference utt loader --buffer_size semantics)."""
+    rng = np.random.RandomState(seed)
+    buf = []
+    for item in it:
+        buf.append(item)
+        if len(buf) >= buffer_size:
+            j = rng.randint(len(buf))
+            buf[j], buf[-1] = buf[-1], buf[j]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
 
 
 def feats_dataloader(
@@ -107,6 +126,9 @@ def feats_dataloader(
                 [a for _, _, a in items] or [np.zeros(0, np.int32)]
             ).astype(np.int32)
         return out
+
+    if cfg.shuffle_buffer > 0:
+        feat_iter = _shuffled(feat_iter, cfg.shuffle_buffer, cfg.seed)
 
     for uttid, mat in feat_iter:
         ali = np.zeros(0, np.int32)

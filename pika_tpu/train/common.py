@@ -16,7 +16,9 @@ from pika_tpu.data.cmvn import CmvnStats, offset_scale
 from pika_tpu.data.loader import OtfLoaderConfig
 from pika_tpu.features.fbank import FbankConfig
 from pika_tpu.train.lr import make_optimizer
-from pika_tpu.train.step import FeaturizerConfig, make_featurizer
+from pika_tpu.train.step import (
+    FeaturizerConfig, make_featurizer, make_feats_featurizer,
+)
 
 
 def add_loader_args(parser: argparse.ArgumentParser) -> None:
@@ -178,6 +180,43 @@ def featurizer_from_args(args, spec_augment: Optional[bool] = None):
     )
     input_dim = fb.num_mel_bins * (args.lctx + 1 + args.rctx)
     return make_featurizer(cfg, offset, scale), input_dim, max_samples
+
+
+def add_utt_loader_args(parser: argparse.ArgumentParser) -> None:
+    """Loader selection — the reference's dynamic loader import
+    (trainer/train_transducer_bmuf_otfaug.py:258-263): ``otf`` reads raw
+    waveforms, ``utt`` reads precomputed feature archives
+    (loader/utt_loader.py)."""
+    parser.add_argument("--loader", type=str, default="otf",
+                        choices=["otf", "utt"],
+                        help="otf: raw-waveform archives with on-the-fly "
+                             "augmentation + fused device fbank; utt: "
+                             "precomputed features (data_lst is a "
+                             "feats.scp/.ark, labels via --ali_rspec)")
+    parser.add_argument("--ali_rspec", type=str, default=None,
+                        help="label rspec (ark:label.txt) for --loader utt")
+    parser.add_argument("--buffer_size", type=int, default=1024,
+                        help="shuffle buffer (utterances) for --loader utt "
+                             "(reference utt_loader --buffer_size)")
+
+
+def feats_featurizer_from_args(args, spec_augment: Optional[bool] = None):
+    """Featurizer + input_dim for the --loader utt (precomputed-feature)
+    training path.  The host loader splices/strides in the feature domain
+    (reference loader/utt_loader.py); CMVN + SpecAugment stay on device."""
+    offset = scale = None
+    if args.cmvn_stats:
+        stats = CmvnStats.read(args.cmvn_stats)
+        off, sc = offset_scale(stats.stats, splice_copies=args.lctx + 1 + args.rctx)
+        offset, scale = jnp.asarray(off), jnp.asarray(sc)
+    featurize = make_feats_featurizer(
+        cmvn_offset=offset, cmvn_scale=scale, cmn=args.cmn,
+        use_spec_augment=(args.spec_augment if spec_augment is None
+                          else spec_augment),
+        max_freq_span=args.max_freq_span, max_time_span=args.max_time_span,
+    )
+    input_dim = args.feats_dim * (args.lctx + 1 + args.rctx)
+    return featurize, input_dim
 
 
 def optimizer_from_args(args):

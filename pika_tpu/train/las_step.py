@@ -92,8 +92,11 @@ def make_las_train_step(
     argument so the schedule (train_las:185-190) needs no recompiles."""
 
     def step_fn(state: TrainState, batch, key, sampling_prob):
+        from pika_tpu.train.step import batch_inputs
+
         kf, kd = jax.random.split(key)
-        feats, feat_lens = featurizer(kf, batch["wavs"], batch["wav_lens"], True)
+        x, x_lens = batch_inputs(batch)
+        feats, feat_lens = featurizer(kf, x, x_lens, True)
         if shared_encoder is not None:
             # frozen RNN-T encoder (no_grad, train_las:213-221)
             src = shared_encoder.apply(

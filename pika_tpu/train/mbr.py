@@ -137,16 +137,19 @@ def make_mbr_step(
     """One MBR batch: decode → risk-weighted surrogate + RNN-T loss → update."""
 
     def step_fn(state: TrainState, batch, key):
+        from pika_tpu.train.step import batch_inputs
+
         kf, kd = jax.random.split(key)
         variables = {"params": state.params}
+        x, x_lens = batch_inputs(batch)
         # decode on clean (no SpecAugment/dither) features
-        feats_c, lens_c = featurizer(None, batch["wavs"], batch["wav_lens"], False)
+        feats_c, lens_c = featurizer(None, x, x_lens, False)
         enc_c = model.apply(variables, feats_c, lens_c, method=Transducer.encode)
         enc_lens_c = model.apply(variables, lens_c, method=Transducer.encoder_out_len)
         nbest = beam_search(model, variables, enc_c, enc_lens_c, beam_cfg)
         nbest = jax.lax.stop_gradient(nbest)
 
-        feats, feat_lens = featurizer(kf, batch["wavs"], batch["wav_lens"], True)
+        feats, feat_lens = featurizer(kf, x, x_lens, True)
 
         def loss_fn(params):
             return mbr_losses(

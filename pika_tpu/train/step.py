@@ -78,6 +78,40 @@ def make_featurizer(cfg: FeaturizerConfig, cmvn_offset=None, cmvn_scale=None):
     return featurize
 
 
+def make_feats_featurizer(
+    cmvn_offset=None,
+    cmvn_scale=None,
+    cmn: bool = False,
+    use_spec_augment: bool = False,
+    max_freq_span: int = 15,
+    max_time_span: int = 35,
+):
+    """Featurizer over PRECOMPUTED features (the --loader utt training
+    path, reference loader/utt_loader.py): the loader already did
+    splice/stride in the feature domain on host, so on device only CMVN
+    and SpecAugment remain.  Same signature as ``make_featurizer``'s
+    result, so the fused train/eval steps are loader-agnostic."""
+
+    def featurize(key, feats, feat_lens, train: bool = True):
+        feats = feats.astype(jnp.float32)
+        if cmvn_offset is not None:
+            feats = apply_cmvn(feats, cmvn_offset, cmvn_scale, cmn=cmn)
+        if use_spec_augment and train and key is not None:
+            feats = spec_augment(key, feats, max_freq_span, max_time_span)
+        return feats, feat_lens
+
+    return featurize
+
+
+def batch_inputs(batch):
+    """The step input pair: raw waveforms (--loader otf, fused fbank on
+    device) or precomputed features (--loader utt).  Key presence is
+    static under jit, so both compile to straight-line programs."""
+    if "wavs" in batch:
+        return batch["wavs"], batch["wav_lens"]
+    return batch["feats"], batch["feat_lens"]
+
+
 def transducer_loss(
     model: Transducer,
     params,
@@ -159,7 +193,8 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, key):
         kf, kd = jax.random.split(key)
-        feats, feat_lens = featurizer(kf, batch["wavs"], batch["wav_lens"], True)
+        x, x_lens = batch_inputs(batch)
+        feats, feat_lens = featurizer(kf, x, x_lens, True)
         enc_in_lens = feat_lens
 
         def loss_fn(params):
@@ -227,7 +262,8 @@ def make_scanned_step(step_fn: Callable) -> Callable:
 
 def make_eval_step(model, featurizer, loss_chunk: int = 32, loss_backend: str = "auto"):
     def step_fn(state: TrainState, batch):
-        feats, feat_lens = featurizer(None, batch["wavs"], batch["wav_lens"], False)
+        x, x_lens = batch_inputs(batch)
+        feats, feat_lens = featurizer(None, x, x_lens, False)
         loss, _ = transducer_loss(
             model, state.params, state.batch_stats,
             feats, feat_lens, batch["labels"], batch["label_lens"],

@@ -46,6 +46,7 @@ def build_parser():
     parser.add_argument("--enc_loss_scale", type=float, default=0.0)
     parser.add_argument("--pretrain_decoder", action="store_true")
     parser.add_argument("--shared_encoder_model", type=str, default=None)
+    common.add_utt_loader_args(parser)
     return parser
 
 
@@ -55,7 +56,12 @@ def main(argv=None):
     log_f = open(args.log.replace("WORKER-ID", "0"), "w")
 
     args.spec_augment = getattr(args, "spec_augment", False)
-    featurizer, input_dim, _ = common.featurizer_from_args(args)
+    if args.loader == "utt":
+        if not args.ali_rspec:
+            raise SystemExit("--loader utt requires --ali_rspec (ark:label.txt)")
+        featurizer, input_dim = common.feats_featurizer_from_args(args)
+    else:
+        featurizer, input_dim, _ = common.featurizer_from_args(args)
     loader_cfg = common.loader_cfg_from_args(args)
 
     shared = shared_params = None

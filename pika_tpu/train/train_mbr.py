@@ -38,6 +38,7 @@ def build_parser():
     parser.add_argument("--rnnt_scale", type=float, default=0.0)
     parser.add_argument("--decode_max_symbols", type=int, default=220)
     parser.add_argument("--tmp_save_batches", type=int, default=3000)
+    common.add_utt_loader_args(parser)
     return parser
 
 
@@ -48,7 +49,12 @@ def main(argv=None):
     args.num_devices = args.num_devices or 1
     log_f = open(args.log.replace("WORKER-ID", "0"), "w")
 
-    featurizer, input_dim, _ = common.featurizer_from_args(args)
+    if args.loader == "utt":
+        if not args.ali_rspec:
+            raise SystemExit("--loader utt requires --ali_rspec (ark:label.txt)")
+        featurizer, input_dim = common.feats_featurizer_from_args(args)
+    else:
+        featurizer, input_dim, _ = common.featurizer_from_args(args)
     model, variables, _ = load_bundle(args.init_model)
     tx = common.optimizer_from_args(args)
     loader_cfg = common.loader_cfg_from_args(args)

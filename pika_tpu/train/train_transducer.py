@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "output_dir (params + optimizer state + epoch)")
     parser.add_argument("--save_every_n_batches", type=int, default=0,
                         help="periodic temp checkpoint (0 = per-epoch only)")
+    common.add_utt_loader_args(parser)
     return parser
 
 
@@ -77,9 +78,31 @@ def make_model(args, input_dim):
     return model, variables, cfg
 
 
+def feats_batch_stream(args, batch_size: int, epoch: int, shuffle=True):
+    """Precomputed-feature batches (--loader utt)."""
+    from pika_tpu.data.feats_loader import FeatsLoaderConfig, feats_dataloader
+
+    cfg = FeatsLoaderConfig(
+        batch_size=batch_size, lctx=args.lctx, rctx=args.rctx,
+        stride=args.stride, max_len=args.max_len,
+        reverse_labels=args.reverse_labels, pad_label=args.padding_tgt,
+        sos=args.SOS, eos=args.EOS,
+        shuffle_buffer=args.buffer_size if shuffle else 0,
+        seed=args.seed + 1000 * epoch,
+    )
+    for b in feats_dataloader(args.data_lst, args.ali_rspec, cfg):
+        if len(b["uttids"]) == batch_size:
+            yield b
+
+
 def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
     """Merged stream over (possibly WORKER-ID-expanded) data lists."""
     import dataclasses as _dc
+
+    if getattr(args, "loader", "otf") == "utt":
+        yield from feats_batch_stream(args, loader_cfg.batch_size, epoch,
+                                      shuffle=loader_cfg.augment)
+        return
 
     if noise is None:
         noise = common.load_noise_segments(getattr(args, "noise_lst", None))
@@ -129,7 +152,12 @@ def main(argv=None):
     n_dev = mesh.devices.size
     log_f = open(args.log.replace("WORKER-ID", "0"), "w")
 
-    featurizer, input_dim, _ = common.featurizer_from_args(args)
+    if args.loader == "utt":
+        if not args.ali_rspec:
+            sys.exit("--loader utt requires --ali_rspec (ark:label.txt)")
+        featurizer, input_dim = common.feats_featurizer_from_args(args)
+    else:
+        featurizer, input_dim, _ = common.featurizer_from_args(args)
     model, variables, cfg = make_model(args, input_dim)
     tx = common.optimizer_from_args(args)
     loader_cfg = common.loader_cfg_from_args(
@@ -202,8 +230,9 @@ def main(argv=None):
             n_per_dispatch (shape-homogeneous groups keep the number of
             compiled programs at one per bucket shape)."""
             pend = {}
+            data_key = "wavs" if args.loader == "otf" else "feats"
             for b in stream:
-                shape = (b["wavs"].shape[1], b["labels"].shape[1])
+                shape = (b[data_key].shape[1], b["labels"].shape[1])
                 g = pend.setdefault(shape, [])
                 g.append(b)
                 if len(g) == n_per_dispatch:
@@ -281,9 +310,12 @@ def main(argv=None):
         bstate = bmuf_init(state.params, bcfg)
         bn_stats = variables.get("batch_stats")
 
+        from pika_tpu.train.step import batch_inputs
+
         def local_step(params, opt_state, stats, lbatch, key):
             kf, kd = jax.random.split(key)
-            feats, feat_lens = featurizer(kf, lbatch["wavs"], lbatch["wav_lens"], True)
+            x, x_lens = batch_inputs(lbatch)
+            feats, feat_lens = featurizer(kf, x, x_lens, True)
 
             def loss_fn(p):
                 return transducer_loss(
