@@ -46,13 +46,14 @@ python -m pika_tpu.train.train_transducer \
     $data/train/data.lst $exp/train.log $exp \
     --feat_config $conf \
     --cmvn_stats $data/train/global_cmvn.stats \
-    --optim adam --initial_lr 0.002 --final_lr 0.0002 \
+    --optim adam --initial_lr 0.001 --final_lr 0.0001 \
     --grad_clip 3.0 --momentum 0.9 \
-    --num_epochs 60 --num_batches_per_epoch 94 \
+    --num_epochs 80 --num_batches_per_epoch 94 \
     --batch_size 16 \
     --encoder_type transformer --enc_layers 9 --tdnn_nhid 256 --tdnn_layers 9 \
     --decoder_type rnn --dec_layers 1 \
     --rnn_size 256 --embd_dim 64 \
+    --dropout 0.1 --tdnn_transformer_dropout 0.1 \
     --output_dim 31 \
     --feats_dim 40 --lctx 1 --rctx 1 --stride 1 \
     --speed_rate 0.9,1.0,1.1 --gain_range 55,10 \
@@ -63,7 +64,7 @@ python -m pika_tpu.train.train_transducer \
 
 echo "=== stage 4: batch decode the noisy held-out test set + WER ==="
 python -m pika_tpu.train.eval_transducer \
-    $exp/model.epoch.59 $data/test/wav.scp $work/nbest.txt \
+    $exp/model.epoch.79 $data/test/wav.scp $work/nbest.txt \
     --feat_config $conf \
     --cmvn_stats $data/train/global_cmvn.stats \
     --ref_labels ark:$data/test/label.txt \

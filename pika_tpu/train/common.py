@@ -70,6 +70,11 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--dropout", type=float, default=0.3)
     parser.add_argument("--tdnn_nhid", type=int, default=1024)
     parser.add_argument("--tdnn_layers", type=int, default=9)
+    parser.add_argument("--tdnn_transformer_dropout", type=float, default=0.2,
+                        help="attention/FFN dropout inside the TDNN-"
+                             "Transformer encoder's transformer layers "
+                             "(reference hardcodes 0.2, "
+                             "rnnt_tdnn_transformer.py:64)")
 
 
 def add_train_args(parser: argparse.ArgumentParser) -> None:
