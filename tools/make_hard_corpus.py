@@ -7,9 +7,10 @@ grid point, rendered as a harmonic source (per-utterance fundamental
 90-220 Hz) shaped by Gaussian spectral envelopes — crude vowels.  Speaker
 variation: every utterance draws a formant scale in [0.88, 1.18] and its
 own pitch, so the same token varies substantially across utterances.
-The TEST set additionally has babble-like noise mixed at 8-18 dB SNR
-(train-time noise robustness must come from --snr_range augmentation
-with the separately generated noise archive).
+The TEST set additionally has babble-like noise mixed at --test_snr dB
+SNR (train-time noise robustness must come from --snr_range augmentation
+with the separately generated noise archive); a clean copy of the same
+test utterances is written to test_clean/.
 
 Usage:
     python tools/make_hard_corpus.py OUTDIR [--train 1500] [--test 200]
@@ -28,8 +29,10 @@ VOCAB = 30  # token ids 1..30 (blank 0)
 
 def token_formants(tok: int):
     """30 tokens on a 6x5 (F1, F2) grid.  Grid spacing (>=20% in F1,
-    >=16% in F2) exceeds the combined speaker-scale x speed-perturb
-    variation (~±14%), so tokens stay separable — hard, not ill-posed."""
+    >=16% in F2) exceeds the speaker-scale variation (±8%), so tokens
+    stay separable — hard, not ill-posed.  (Speed perturbation would add
+    another ±10% formant shift and push adjacent grid points into
+    overlap; the recipe keeps it off for this corpus.)"""
     i = (tok - 1) % 6
     j = (tok - 1) // 6
     f1 = 300.0 + 140.0 * i     # 300..1000
@@ -114,25 +117,42 @@ def mix_at_snr(sig_i16, noise_i16, snr_db, rng):
     return seg.from_float32(out, "int16")
 
 
-def write_split(outdir, name, n_utts, rng, noise_clips=None):
+def write_split(outdir, name, n_utts, rng, noise_clips=None,
+                snr_range=(12.0, 22.0), clean_copy=None):
+    """Write a split; with ``clean_copy``, also write the same utterances
+    WITHOUT noise under that name (clean-vs-noisy WER on identical
+    content isolates the noise-robustness gap)."""
     from pika_tpu.data import write_int_vectors, write_wav
 
     d = os.path.join(outdir, name)
     os.makedirs(os.path.join(d, "wavs"), exist_ok=True)
+    dc = None
+    if clean_copy is not None:
+        dc = os.path.join(outdir, clean_copy)
+        os.makedirs(os.path.join(dc, "wavs"), exist_ok=True)
+        scp_clean = open(os.path.join(dc, "wav.scp"), "w")
     labels = []
     with open(os.path.join(d, "wav.scp"), "w") as scp:
         for i in range(n_utts):
             toks = rng.integers(1, VOCAB + 1, int(rng.integers(4, 11)))
             pcm = synth_utt(toks, rng)
+            uttid = f"{name}{i:05d}"
+            if dc is not None:
+                path_c = os.path.join(dc, "wavs", f"{uttid}.wav")
+                write_wav(path_c, pcm, SR)
+                scp_clean.write(f"{uttid} {path_c}\n")
             if noise_clips is not None:
                 k = int(rng.integers(0, len(noise_clips)))
-                pcm = mix_at_snr(pcm, noise_clips[k], rng.uniform(8.0, 18.0), rng)
-            uttid = f"{name}{i:05d}"
+                pcm = mix_at_snr(pcm, noise_clips[k],
+                                 rng.uniform(*snr_range), rng)
             path = os.path.join(d, "wavs", f"{uttid}.wav")
             write_wav(path, pcm, SR)
             scp.write(f"{uttid} {path}\n")
             labels.append((uttid, [int(t) for t in toks]))
     write_int_vectors(os.path.join(d, "label.txt"), labels)
+    if dc is not None:
+        scp_clean.close()
+        write_int_vectors(os.path.join(dc, "label.txt"), labels)
 
 
 def main():
@@ -141,7 +161,13 @@ def main():
     ap.add_argument("--train", type=int, default=1500)
     ap.add_argument("--test", type=int, default=200)
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--test_snr", type=str, default="12,22",
+                    help="lo,hi dB SNR for baked-in test noise.  The babble "
+                         "is in-band formant bursts — spectrally inside the "
+                         "token class — so SNRs below ~10 dB bury the "
+                         "formant identity that IS the label")
     args = ap.parse_args()
+    snr_lo, snr_hi = (float(v) for v in args.test_snr.split(","))
 
     from pika_tpu.data import MrkSeqWriter
 
@@ -163,14 +189,16 @@ def main():
     test_noise = [synth_noise(8.0, rng) for _ in range(8)]
 
     write_split(args.outdir, "train", args.train, rng)
-    write_split(args.outdir, "test", args.test, rng, noise_clips=test_noise)
+    write_split(args.outdir, "test", args.test, rng, noise_clips=test_noise,
+                snr_range=(snr_lo, snr_hi), clean_copy="test_clean")
 
     with open(os.path.join(args.outdir, "char.txt"), "w") as f:
         f.write("<blk> 0\n")
         for k in range(1, VOCAB + 1):
             f.write(f"w{k} {k}\n")
     print(f"corpus at {args.outdir}: {args.train} train, {args.test} test "
-          f"(noisy 8-18 dB SNR, disjoint noise)")
+          f"(noisy {snr_lo:.0f}-{snr_hi:.0f} dB SNR, disjoint noise; "
+          f"clean copy in test_clean/)")
 
 
 if __name__ == "__main__":
