@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from pika_tpu.decode.fst import fst_advance_sets, fst_final_scores
 from pika_tpu.models.transducer import Transducer
+from pika_tpu.utils.dtypes import cast_floats, resolve_mm_dtype
 
 NEG = -1.0e20
 HASH_MULT = jnp.uint32(1000003)
@@ -47,6 +48,10 @@ class BeamConfig:
     nonblk_reward: float = 0.0
     max_fst_states: int = 4
     fst_backoff_levels: int = 6
+    # matmul compute dtype inside the decode loop: "auto" = bf16 on TPU
+    # (MXU native, ~2x f32), f32 elsewhere.  Scores, log_softmax and all
+    # beam bookkeeping stay float32 either way.
+    mm_dtype: Optional[str] = "auto"
 
 
 class _BeamState(NamedTuple):
@@ -59,7 +64,8 @@ class _BeamState(NamedTuple):
     aligns: jnp.ndarray       # (B, K, max_steps) full alignment incl. blanks
     align_lens: jnp.ndarray   # (B, K)
     hashes: jnp.ndarray       # (B, K) uint32
-    dec_hid: jnp.ndarray      # (B, K, H)
+    dec_ay: jnp.ndarray       # (B, K, H) prediction-side joint factor fc1_y
+    dec_gy: jnp.ndarray       # (B, K, H) prediction-side joint factor gate_y
     dec_h: jnp.ndarray        # (L, B, K, H)
     dec_c: jnp.ndarray        # (L, B, K, H)
     fst_states: jnp.ndarray   # (B, K, S)
@@ -117,25 +123,43 @@ def beam_search(
     vocab = model.config.vocab_size
     use_lm = fst_tables is not None
 
+    mmd = resolve_mm_dtype(cfg.mm_dtype)
+    fdt = mmd or jnp.float32  # dtype of float loop-carry / activations
+    if mmd is not None:
+        variables = cast_floats(variables, mmd)
+        enc_out = enc_out.astype(mmd)
+
     def predict_step(tok, state):
         return model.apply(variables, tok, state, method=Transducer.predict_step)
 
     def predict_prefix(tokens, lens):
         return model.apply(variables, tokens, lens, method=Transducer.predict_last)
 
-    def joint_step(enc_hid, dec_hid):
-        return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
+    def dec_factors(dec_hid):
+        return model.apply(variables, dec_hid, method=Transducer.joint_dec_factors)
+
+    def joint_from_factors(ax, gx, ay, gy):
+        return model.apply(variables, ax, gx, ay, gy,
+                           method=Transducer.joint_from_factors)
+
+    # encoder-side joint factors, hoisted out of the decode loop: two H×H
+    # projections per utterance instead of per step (the reference re-runs
+    # the full joint every step, transducer_decoder.py:173-177)
+    ax_all, gx_all = model.apply(variables, enc_out,
+                                 method=Transducer.joint_enc_factors)
 
     # init: every beam consumed SOS(=blank); beam 0 live, others NEG
     if is_rnn:
-        zero_state = (jnp.zeros((layers, b * k, hid)), jnp.zeros((layers, b * k, hid)))
+        zero_state = (jnp.zeros((layers, b * k, hid), fdt),
+                      jnp.zeros((layers, b * k, hid), fdt))
         dec_hid0, (h0, c0) = predict_step(jnp.zeros((b * k,), jnp.int32), zero_state)
     else:
         # tiny unused placeholder state (not gathered in the loop)
-        h0 = c0 = jnp.zeros((1, b * k, 1))
+        h0 = c0 = jnp.zeros((1, b * k, 1), fdt)
         dec_hid0 = predict_prefix(
             jnp.zeros((b * k, um), jnp.int32), jnp.zeros((b * k,), jnp.int32)
         )
+    ay0, gy0 = dec_factors(dec_hid0)
 
     if use_lm:
         fst_states0 = jnp.full((b, k, cfg.max_fst_states), -1, jnp.int32)
@@ -157,7 +181,8 @@ def beam_search(
         aligns=jnp.full((b, k, max_steps), -1, jnp.int32),
         align_lens=jnp.zeros((b, k), jnp.int32),
         hashes=jnp.zeros((b, k), jnp.uint32),
-        dec_hid=dec_hid0.reshape(b, k, hid),
+        dec_ay=ay0.reshape(b, k, hid),
+        dec_gy=gy0.reshape(b, k, hid),
         dec_h=h0.reshape(h0.shape[0], b, k, -1),
         dec_c=c0.reshape(c0.shape[0], b, k, -1),
         fst_states=fst_states0,
@@ -183,11 +208,16 @@ def beam_search(
             scores = jnp.where(dup, NEG, scores)
 
         # --- joint over current (enc frame, dec state) -------------------
-        enc_hid = jnp.take_along_axis(
-            enc_out, jnp.clip(st.t_idx, 0, t_max - 1)[..., None], axis=1
-        )  # (B, K, H)
-        logits = joint_step(enc_hid.reshape(b * k, hid), st.dec_hid.reshape(b * k, hid))
-        lp = jax.nn.log_softmax(cfg.sm_scale * logits, axis=-1).reshape(b, k, vocab)
+        t_gather = jnp.clip(st.t_idx, 0, t_max - 1)[..., None]
+        axk = jnp.take_along_axis(ax_all, t_gather, axis=1)  # (B, K, H)
+        gxk = jnp.take_along_axis(gx_all, t_gather, axis=1)
+        logits = joint_from_factors(
+            axk.reshape(b * k, hid), gxk.reshape(b * k, hid),
+            st.dec_ay.reshape(b * k, hid), st.dec_gy.reshape(b * k, hid),
+        )
+        lp = jax.nn.log_softmax(
+            cfg.sm_scale * logits.astype(jnp.float32), axis=-1
+        ).reshape(b, k, vocab)
 
         sel_bias = cfg.lm_scale * st.lm_scores if use_lm else 0.0
         cand = scores[..., None] + lp + (sel_bias[..., None] if use_lm else 0.0)
@@ -240,7 +270,8 @@ def beam_search(
         align_lens = _gather_beams(st.align_lens, prev_k)
         hashes = _gather_beams(st.hashes, prev_k)
         t_idx = _gather_beams(st.t_idx, prev_k)
-        dec_hid = _gather_beams(st.dec_hid, prev_k)
+        dec_ay = _gather_beams(st.dec_ay, prev_k)
+        dec_gy = _gather_beams(st.dec_gy, prev_k)
         if is_rnn:
             dec_h = jnp.take_along_axis(st.dec_h, prev_k[None, :, :, None], axis=2)
             dec_c = jnp.take_along_axis(st.dec_c, prev_k[None, :, :, None], axis=2)
@@ -280,7 +311,9 @@ def beam_search(
                 jnp.clip(tokens, 0, None).reshape(b * k, um),
                 lens.reshape(b * k),
             )
-        dec_hid = jnp.where(keep, new_hid, dec_hid.reshape(b * k, hid)).reshape(b, k, hid)
+        new_ay, new_gy = dec_factors(new_hid)
+        dec_ay = jnp.where(keep, new_ay, dec_ay.reshape(b * k, hid)).reshape(b, k, hid)
+        dec_gy = jnp.where(keep, new_gy, dec_gy.reshape(b * k, hid)).reshape(b, k, hid)
 
         lm_scores = lm_prev
         if use_lm:
@@ -303,7 +336,8 @@ def beam_search(
             aligns=aligns,
             align_lens=align_lens,
             hashes=hashes,
-            dec_hid=dec_hid,
+            dec_ay=dec_ay,
+            dec_gy=dec_gy,
             dec_h=dec_h,
             dec_c=dec_c,
             fst_states=fst_states,

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from pika_tpu.models.transducer import Transducer
+from pika_tpu.utils.dtypes import cast_floats, resolve_mm_dtype
 
 
 def greedy_decode(
@@ -27,17 +28,26 @@ def greedy_decode(
     enc_out: jnp.ndarray,
     enc_lens: jnp.ndarray,
     max_symbols: int = 200,
+    mm_dtype="auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch given encoder output.
 
     Returns (hyps (B, max_symbols) int32 padded with -1, hyp_lens (B,)).
     Supports both prediction nets: LSTM decoders advance incrementally;
     transformer decoders re-forward the full prefix each emission.
+    ``mm_dtype="auto"`` runs the loop matmuls in bf16 on TPU (argmax is
+    taken over f32-upcast logits).
     """
     is_rnn = model.config.decoder_type == "rnn"
     b, t_max, _ = enc_out.shape
     layers = model.config.dec_layers
     hid = model.config.hid_dim
+
+    mmd = resolve_mm_dtype(mm_dtype)
+    fdt = mmd or jnp.float32
+    if mmd is not None:
+        variables = cast_floats(variables, mmd)
+        enc_out = enc_out.astype(mmd)
 
     def predict_step(tok, state):
         return model.apply(variables, tok, state, method=Transducer.predict_step)
@@ -45,19 +55,30 @@ def greedy_decode(
     def predict_prefix(tokens, lens):
         return model.apply(variables, tokens, lens, method=Transducer.predict_last)
 
-    def joint_step(enc_hid, dec_hid):
-        return model.apply(variables, enc_hid, dec_hid, method=Transducer.joint_step)
+    def dec_factors(dec_hid):
+        return model.apply(variables, dec_hid, method=Transducer.joint_dec_factors)
+
+    def joint_from_factors(ax, gx, ay, gy):
+        return model.apply(variables, ax, gx, ay, gy,
+                           method=Transducer.joint_from_factors)
+
+    # encoder-side joint factors hoisted out of the loop (see beam.py)
+    ax_all, gx_all = model.apply(variables, enc_out,
+                                 method=Transducer.joint_enc_factors)
 
     # init: prediction net consumed SOS (= blank 0), like blk_sos init
     # (decoder/transducer_decoder.py:103,116-121)
     if is_rnn:
-        zero_state = (jnp.zeros((layers, b, hid)), jnp.zeros((layers, b, hid)))
+        zero_state = (jnp.zeros((layers, b, hid), fdt),
+                      jnp.zeros((layers, b, hid), fdt))
         dec_hid0, state0 = predict_step(jnp.zeros((b,), jnp.int32), zero_state)
     else:
-        state0 = (jnp.zeros((layers, b, hid)), jnp.zeros((layers, b, hid)))
+        state0 = (jnp.zeros((layers, b, hid), fdt),
+                  jnp.zeros((layers, b, hid), fdt))
         dec_hid0 = predict_prefix(
             jnp.zeros((b, max_symbols), jnp.int32), jnp.zeros((b,), jnp.int32)
         )
+    ay0, gy0 = dec_factors(dec_hid0)
 
     max_steps = t_max + max_symbols
 
@@ -66,10 +87,12 @@ def greedy_decode(
         return ~jnp.all(done)
 
     def body(carry):
-        t_idx, done, dec_hid, state, hyps, hyp_len = carry
-        enc_hid = enc_out[jnp.arange(b), jnp.clip(t_idx, 0, t_max - 1)]
-        logits = joint_step(enc_hid, dec_hid)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        t_idx, done, (dec_ay, dec_gy), state, hyps, hyp_len = carry
+        rows = jnp.arange(b)
+        tc = jnp.clip(t_idx, 0, t_max - 1)
+        logits = joint_from_factors(ax_all[rows, tc], gx_all[rows, tc],
+                                    dec_ay, dec_gy)
+        tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
         full = hyp_len >= max_symbols
         is_blank = (tok == 0) | done | full
         # advance time on blank
@@ -93,13 +116,15 @@ def greedy_decode(
             )
         else:
             new_dec_hid = predict_prefix(jnp.clip(hyps, 0, None), hyp_len)
-        dec_hid = jnp.where(keep, new_dec_hid, dec_hid)
-        return (t_idx, done, dec_hid, state, hyps, hyp_len)
+        new_ay, new_gy = dec_factors(new_dec_hid)
+        dec_ay = jnp.where(keep, new_ay, dec_ay)
+        dec_gy = jnp.where(keep, new_gy, dec_gy)
+        return (t_idx, done, (dec_ay, dec_gy), state, hyps, hyp_len)
 
     init = (
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool) | (enc_lens <= 0),
-        dec_hid0,
+        (ay0, gy0),
         state0,
         jnp.full((b, max_symbols), -1, jnp.int32),
         jnp.zeros((b,), jnp.int32),
@@ -118,9 +143,10 @@ def greedy_decode(
     return hyps, hyp_len
 
 
-def greedy_decode_waveforms(model, variables, featurizer, wavs, wav_lens, max_symbols: int = 200):
+def greedy_decode_waveforms(model, variables, featurizer, wavs, wav_lens,
+                            max_symbols: int = 200, mm_dtype="auto"):
     """Wav → features → encoder → greedy decode, one jittable function."""
     feats, feat_lens = featurizer(None, wavs, wav_lens, False)
     enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)
     enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
-    return greedy_decode(model, variables, enc, enc_lens, max_symbols)
+    return greedy_decode(model, variables, enc, enc_lens, max_symbols, mm_dtype)

@@ -175,6 +175,22 @@ class Transducer(nn.Module):
         gate = self.gate_x(enc_hid) + self.gate_y(dec_hid)
         return self.fc2(jnp.tanh(pre) * jax.nn.sigmoid(gate))
 
+    def joint_enc_factors(self, enc_out: jnp.ndarray):
+        """Encoder-side joint pre-activations (ax, gx) over all frames.
+
+        Decode-loop hoist: these depend only on the encoder output, so the
+        decoders compute them ONCE per utterance and gather per-beam frames
+        inside the loop instead of re-projecting every step."""
+        return self.fc1_x(enc_out), self.gate_x(enc_out)
+
+    def joint_dec_factors(self, dec_hid: jnp.ndarray):
+        """Prediction-side joint pre-activations (ay, gy); biases live here."""
+        return self.fc1_y(dec_hid), self.gate_y(dec_hid)
+
+    def joint_from_factors(self, ax, gx, ay, gy) -> jnp.ndarray:
+        """Logits from cached factors — identical algebra to joint_step."""
+        return self.fc2(jnp.tanh(ax + ay) * jax.nn.sigmoid(gx + gy))
+
     def joint_logits(self, enc_out: jnp.ndarray, dec_out: jnp.ndarray) -> jnp.ndarray:
         """Full lattice logits (B, T, U+1, V) — oracle/debug path only; the
         training hot path uses the fused Pallas loss over joint_factors."""

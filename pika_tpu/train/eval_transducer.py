@@ -68,6 +68,11 @@ def build_parser():
                              "edge-padded (decode_transducer.py:114-120)")
     parser.add_argument("--cmvn_stats", type=str, default=None)
     parser.add_argument("--cmn", action="store_true")
+    parser.add_argument("--decode_dtype", type=str, default="auto",
+                        choices=["auto", "bfloat16", "float32"],
+                        help="matmul dtype inside the decode loop: auto = "
+                             "bf16 on TPU (MXU-native), f32 elsewhere; "
+                             "scores/softmax stay f32 either way")
     common.add_loader_args(parser)
     return parser
 
@@ -101,6 +106,7 @@ def main(argv=None):
         sm_scale=args.sm_scale, max_symbols=args.max_symbols,
         lm_scale=args.fst_lm_scale if fst_tables is not None else 0.0,
         nonblk_reward=args.nonblk_reward, max_fst_states=args.max_fst_states,
+        mm_dtype=args.decode_dtype,
     )
 
     las_fw = las_bw = None

@@ -30,6 +30,7 @@ from pika_tpu.features.pipeline import (
 )
 from pika_tpu.models.transducer import Transducer
 from pika_tpu.ops.rnnt_loss import rnnt_loss_fused
+from pika_tpu.utils.dtypes import cast_floats  # re-exported for callers
 
 
 class TrainState(struct.PyTreeNode):
@@ -156,16 +157,6 @@ def transducer_loss(
     return losses.sum(), new_stats
 
 
-def cast_floats(tree, dtype):
-    """Cast floating-point leaves to ``dtype`` (mixed-precision compute
-    cast in either direction).  Gradients taken through this cast come
-    back in the original dtype automatically."""
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        tree,
-    )
 
 
 def make_train_step(

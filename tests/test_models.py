@@ -135,3 +135,20 @@ def test_joint_step_matches_lattice(rng):
     step = model.apply(variables, enc, dec, method=Transducer.joint_step)
     lattice = model.apply(variables, enc[:, None, :], dec[:, None, :], method=Transducer.joint_logits)
     np.testing.assert_allclose(np.asarray(step), np.asarray(lattice[:, 0, 0]), rtol=1e-5, atol=1e-6)
+
+
+def test_joint_factors_match_joint_step(rng):
+    """The decode-loop factorization (enc factors hoisted, dec factors
+    cached) must reproduce joint_step exactly in f32."""
+    cfg = TransducerConfig(input_dim=6, vocab_size=7, hid_dim=8,
+                           enc_layers=1, dec_layers=1, embd_dim=4)
+    model, variables = init_transducer(K, cfg)
+    enc = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    dec = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    ax, gx = model.apply(variables, enc, method=Transducer.joint_enc_factors)
+    ay, gy = model.apply(variables, dec, method=Transducer.joint_dec_factors)
+    via_factors = model.apply(variables, ax, gx, ay, gy,
+                              method=Transducer.joint_from_factors)
+    direct = model.apply(variables, enc, dec, method=Transducer.joint_step)
+    np.testing.assert_allclose(np.asarray(via_factors), np.asarray(direct),
+                               rtol=1e-6, atol=1e-6)
