@@ -28,15 +28,17 @@ VOCAB = 30  # token ids 1..30 (blank 0)
 
 
 def token_formants(tok: int):
-    """30 tokens on a 6x5 (F1, F2) grid.  Grid spacing (>=20% in F1,
-    >=16% in F2) exceeds the speaker-scale variation (±8%), so tokens
-    stay separable — hard, not ill-posed.  (Speed perturbation would add
-    another ±10% formant shift and push adjacent grid points into
-    overlap; the recipe keeps it off for this corpus.)"""
+    """30 tokens on a 6x5 (F1, F2) grid with GEOMETRIC spacing: formant
+    confusability is multiplicative (speaker scale multiplies both
+    formants), so constant-ratio spacing (27%/28% per step) keeps every
+    adjacent pair separated by well over the ±8% speaker variation.  A
+    linear grid is ill-posed at the top (1000/860 = 1.16 — inside the
+    speaker range).  (Speed perturbation would add another ±10% shift;
+    the recipe keeps it off for this corpus.)"""
     i = (tok - 1) % 6
     j = (tok - 1) // 6
-    f1 = 300.0 + 140.0 * i     # 300..1000
-    f2 = 1150.0 + 480.0 * j    # 1150..3070
+    f1 = 300.0 * (1000.0 / 300.0) ** (i / 5.0)    # 300..1000, ratio 1.272
+    f2 = 1150.0 * (3070.0 / 1150.0) ** (j / 4.0)  # 1150..3070, ratio 1.278
     return f1, f2
 
 
