@@ -42,6 +42,7 @@ class OtfLoaderConfig:
     speed_rates: Sequence[float] = (0.9, 1.0, 1.1)
     gain_range: Tuple[float, float] = (55.0, 10.0)  # negative dB targets
     snr_range: Optional[Tuple[float, float]] = None
+    noise_prob: float = 1.0          # fraction of utterances that get noise mixed in
     num_workers: int = 2
     queue_size: int = 8
     reverse_labels: bool = False
@@ -93,7 +94,8 @@ def _augment(pcm: np.ndarray, cfg: OtfLoaderConfig, rng: np.random.Generator,
         x = seg.change_speed(x, rate)
         gain_lo, gain_hi = -cfg.gain_range[0], -cfg.gain_range[1]
         x = seg.normalize(x, float(rng.uniform(gain_lo, gain_hi)))
-        if cfg.snr_range is not None and noise:
+        if (cfg.snr_range is not None and noise
+                and float(rng.uniform()) < cfg.noise_prob):
             snr = float(rng.uniform(*cfg.snr_range))
             n = noise[int(rng.integers(0, len(noise)))]
             if n.shape[0] >= x.shape[0]:

@@ -49,6 +49,9 @@ def add_loader_args(parser: argparse.ArgumentParser) -> None:
                         help="mrk/seq list of room impulse responses (hook)")
     parser.add_argument("--snr_range", type=str, default="",
                         help="comma separated SNR range in dB, e.g. 0,20")
+    parser.add_argument("--noise_prob", type=float, default=1.0,
+                        help="fraction of utterances that get noise mixed in "
+                             "(multi-condition training: the rest stay clean)")
     parser.add_argument("--max_wav_seconds", type=float, default=20.0,
                         help="largest waveform bucket in seconds")
 
@@ -146,6 +149,7 @@ def loader_cfg_from_args(args, batch_size: Optional[int] = None) -> OtfLoaderCon
     return OtfLoaderConfig(
         batch_size=batch_size or args.batch_size,
         snr_range=snr,
+        noise_prob=getattr(args, "noise_prob", 1.0),
         sample_rate=args.sample_rate,
         frame_length=fb.frame_length,
         frame_shift=fb.frame_shift,

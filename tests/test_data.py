@@ -187,3 +187,29 @@ def test_prefetch_iter_propagates_errors_and_preserves_order():
 
     with _pytest.raises(RuntimeError, match="prefetch producer"):
         list(prefetch_iter(bad()))
+
+
+def test_augment_noise_prob(rng):
+    """--noise_prob mixes clean and noisy utterances (multi-condition
+    training): prob=0 never touches the waveform beyond speed/gain,
+    prob=1 always mixes, and the same seed with the same prob is
+    deterministic."""
+    from pika_tpu.data.loader import OtfLoaderConfig, _augment
+
+    pcm = (rng.standard_normal(8000) * 3000).astype(np.int16)
+    noise = [(rng.standard_normal(32000) * 3000).astype(np.float32)]
+    base = dict(speed_rates=(1.0,), gain_range=(20.0, 20.0),
+                snr_range=(10.0, 10.0))
+
+    def run(prob, seed):
+        cfg = OtfLoaderConfig(noise_prob=prob, **base)
+        return _augment(pcm, cfg, np.random.default_rng(seed), noise=noise)
+
+    clean = run(0.0, 0)
+    noisy = run(1.0, 0)
+    assert not np.array_equal(clean, noisy)
+    # determinism under a fixed seed
+    np.testing.assert_array_equal(run(0.5, 3), run(0.5, 3))
+    # at prob=0.5 both outcomes occur across seeds
+    outcomes = {np.array_equal(run(0.5, s), run(0.0, s)) for s in range(12)}
+    assert outcomes == {True, False}
