@@ -40,6 +40,10 @@ class TDNNTransformerEncoder(nn.Module):
     filter_size: int = 3
     heads: Sequence[int] = (16, 16, 8)
     transformer_dropout: float = 0.2
+    remat: bool = False  # jax.checkpoint each transformer layer: recompute
+    #                      activations in the backward pass instead of
+    #                      holding the (B,H,T,T) attention tensors in HBM —
+    #                      the long-sequence memory/FLOP trade (SURVEY §5.7)
 
     def _dilations_strides(self):
         dil = [1] * 3 + [3] * (self.tdnn_layers - 4) + [3]
@@ -83,10 +87,13 @@ class TDNNTransformerEncoder(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                              epsilon=BN_EPS, name=f"bn_{l}")(x)
             if (l + 1) % 3 == 0 and t_layer < len(self.heads):
-                x = TransformerEncoderLayer(
+                layer_cls = (nn.remat(TransformerEncoderLayer,
+                                      static_argnums=(3,))
+                             if self.remat else TransformerEncoderLayer)
+                x = layer_cls(
                     nhid, self.heads[t_layer], nhid * 4,
                     self.transformer_dropout, name=f"transformer_{t_layer}",
-                )(x, mask=None, deterministic=not train)
+                )(x, None, not train)
                 t_layer += 1
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, name="bn_final")(x)

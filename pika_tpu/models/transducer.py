@@ -44,6 +44,7 @@ class TransducerConfig:
     tdnn_nhid: int = 1024
     tdnn_layers: int = 9
     tdnn_transformer_dropout: float = 0.2  # rnnt_tdnn_transformer.py:64
+    remat: bool = False      # rematerialize encoder transformer layers
     dec_d_model: int = 512
     dec_heads: int = 8
     dec_d_ff: int = 2048
@@ -70,6 +71,7 @@ class Transducer(nn.Module):
                 output_dim=cfg.hid_dim, tdnn_nhid=cfg.tdnn_nhid,
                 tdnn_layers=cfg.tdnn_layers,
                 transformer_dropout=cfg.tdnn_transformer_dropout,
+                remat=cfg.remat,
                 name="encoder",
             )
         self.embed = nn.Embed(cfg.vocab_size + 1, cfg.embd_dim, name="embed")

@@ -78,6 +78,12 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                              "Transformer encoder's transformer layers "
                              "(reference hardcodes 0.2, "
                              "rnnt_tdnn_transformer.py:64)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder transformer layers in "
+                             "the backward pass (jax.checkpoint): trades "
+                             "~1/3 extra encoder FLOPs for not holding the "
+                             "attention tensors in HBM — enables longer "
+                             "utterances / larger batches per chip")
 
 
 def add_train_args(parser: argparse.ArgumentParser) -> None:

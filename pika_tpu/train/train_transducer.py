@@ -71,6 +71,7 @@ def make_model(args, input_dim):
         tdnn_nhid=args.tdnn_nhid,
         tdnn_layers=args.tdnn_layers,
         tdnn_transformer_dropout=args.tdnn_transformer_dropout,
+        remat=getattr(args, "remat", False),
     )
     if args.init_model:
         model, variables, _ = load_bundle(args.init_model)

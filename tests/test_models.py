@@ -152,3 +152,41 @@ def test_joint_factors_match_joint_step(rng):
     direct = model.apply(variables, enc, dec, method=Transducer.joint_step)
     np.testing.assert_allclose(np.asarray(via_factors), np.asarray(direct),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_remat_encoder_matches_exact(rng):
+    """--remat (jax.checkpoint around encoder transformer layers) must not
+    change the math: identical loss and gradients, only the backward-pass
+    memory/FLOP schedule differs (SURVEY §5.7)."""
+    from pika_tpu.train import transducer_loss
+
+    def build(remat):
+        cfg = TransducerConfig(input_dim=24, vocab_size=12, hid_dim=16,
+                               encoder_type="tdnn_transformer",
+                               decoder_type="rnn", enc_layers=9, dec_layers=1,
+                               embd_dim=8, tdnn_nhid=32, tdnn_layers=9,
+                               remat=remat)
+        return init_transducer(K, cfg, max_t=60, max_u=5)
+
+    x = jnp.asarray(rng.standard_normal((2, 60, 24)).astype(np.float32))
+    y = jnp.asarray(rng.integers(1, 12, (2, 5)).astype(np.int32))
+    xl = jnp.asarray([60, 52], jnp.int32)
+    yl = jnp.asarray([5, 3], jnp.int32)
+
+    results = []
+    for remat in (False, True):
+        model, variables = build(remat)
+
+        def f(p):
+            loss, _ = transducer_loss(model, p, variables.get("batch_stats"),
+                                      x, xl, y, yl, train=True,
+                                      dropout_key=jax.random.PRNGKey(7))
+            return loss
+
+        results.append(jax.jit(jax.value_and_grad(f))(variables["params"]))
+
+    (l0, g0), (l1, g1) = results
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
