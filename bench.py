@@ -102,8 +102,18 @@ def main():
         opt_state=tx.init(variables["params"]),
         batch_stats=variables.get("batch_stats"),
     )
-    # loss_backend auto -> pallas on TPU
-    step_fn = make_train_step(model, tx, featurizer, loss_chunk=16, jit=False)
+    # loss_backend auto -> pallas on TPU.  BENCH_DTYPE=bfloat16 measures
+    # mixed precision (bf16 activations, f32 master params/optimizer);
+    # it is only ~1% faster here because JAX's default TPU matmul
+    # precision already runs f32 matmuls as bf16 MXU multiplies with f32
+    # accumulation, so bf16 compute saves activation bandwidth only
+    # (measured 80.9 vs 79.8 utt/s) — f32 stays the headline.
+    import os
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+    step_fn = make_train_step(model, tx, featurizer, loss_chunk=16, jit=False,
+                              compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -164,7 +174,8 @@ def main():
     print(json.dumps({
         "metric": "rnnt_train_utterances_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
-        "unit": "utt/s (10s utts, flagship TDNN-Transformer RNN-T, fused wav->loss step)",
+        "unit": f"utt/s (10s utts, flagship TDNN-Transformer RNN-T, "
+                f"fused wav->loss step, {dtype_name} compute)",
         "vs_baseline": None,
     }))
 

@@ -151,6 +151,13 @@ def transducer_loss(
     else:
         ax, gx, ay, gy, w2, b2 = out
         new_stats = batch_stats
+    # The fused loss kernels take f32 factors (their MXU matmuls downcast
+    # to bf16 internally with f32 accumulation); under bf16 compute the
+    # model emits bf16 factors, and feeding those through shifts Mosaic's
+    # kernel-stack budget past the 16MB scoped-VMEM limit.  Casting here
+    # keeps one tested kernel configuration for every compute_dtype.
+    ax, gx, ay, gy, w2, b2 = (x.astype(jnp.float32)
+                              for x in (ax, gx, ay, gy, w2, b2))
     losses = rnnt_loss_fused(
         ax, gx, ay, gy, w2, b2, labels, enc_lens, label_lens, loss_chunk, loss_backend
     )

@@ -186,3 +186,54 @@ def test_scanned_step_tail_masking_is_exact(rng):
         s1, s2)
     assert float(m2["loss"][1]) == 0.0 and int(m2["num_labels"][1]) == 0
     assert float(m2["loss"][0]) == float(m1["loss"][0])
+
+
+def test_bf16_compute_train_step(rng):
+    """--compute_dtype bfloat16 (mixed precision: bf16 activations, f32
+    master params/optimizer/gradients) must run the full wav->loss->update
+    step, keep the state f32, and track the f32 step closely (this path
+    compiles the same f32 loss-kernel configuration — step.py casts the
+    joint factors back to f32 at the loss boundary)."""
+    from pika_tpu.features import FbankConfig
+    from pika_tpu.train import (
+        FeaturizerConfig, TrainState, make_featurizer, make_optimizer,
+        make_train_step,
+    )
+
+    fb = FbankConfig(sample_frequency=SR, window_type="hamming", dither=0.0,
+                     low_freq=40.0, high_freq=-200.0, num_mel_bins=12)
+    featurizer = make_featurizer(FeaturizerConfig(fbank=fb, max_samples=SR))
+    cfg = TransducerConfig(input_dim=12, vocab_size=VOCAB, hid_dim=16,
+                           enc_layers=1, dec_layers=1, embd_dim=8)
+    model, variables = init_transducer(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer("sgd", 0.05, 0.01, 100, momentum=0.9, grad_clip=3.0)
+    state0 = TrainState(step=jnp.zeros((), jnp.int32),
+                        params=variables["params"],
+                        opt_state=tx.init(variables["params"]))
+    batch = {
+        "wavs": jnp.asarray((rng.standard_normal((2, SR)) * 3000).astype(np.float32)),
+        "wav_lens": jnp.asarray([SR, SR - 4000], jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, VOCAB, (2, 4)).astype(np.int32)),
+        "label_lens": jnp.asarray([4, 3], jnp.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    step32 = make_train_step(model, tx, featurizer, donate=False)
+    step16 = make_train_step(model, tx, featurizer, donate=False,
+                             compute_dtype=jnp.bfloat16)
+    s32, m32 = step32(state0, batch, key)
+    s16, m16 = step16(state0, batch, key)
+
+    # master state stays f32
+    for leaf in jax.tree.leaves(s16.params):
+        assert leaf.dtype == jnp.float32
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    np.testing.assert_allclose(l16, l32, rtol=0.02)
+    # parameters moved, and moved in nearly the same direction
+    d32 = jax.tree.map(lambda a, b: np.asarray(b - a), state0.params, s32.params)
+    d16 = jax.tree.map(lambda a, b: np.asarray(b - a), state0.params, s16.params)
+    num = sum(float((a * b).sum()) for a, b in zip(jax.tree.leaves(d32), jax.tree.leaves(d16)))
+    den = (sum(float((a * a).sum()) for a in jax.tree.leaves(d32)) ** 0.5
+           * sum(float((b * b).sum()) for b in jax.tree.leaves(d16)) ** 0.5)
+    assert den > 0 and num / den > 0.98
