@@ -82,7 +82,7 @@ def make_las_train_step(
     tx: optax.GradientTransformation,
     featurizer: Callable,
     shared_encoder: Optional[Transducer] = None,
-    shared_encoder_params=None,
+    shared_encoder_variables=None,
     dec_loss_scale: float = 1.0,
     enc_loss_scale: float = 0.0,
     pretrain_decoder: bool = False,
@@ -98,13 +98,15 @@ def make_las_train_step(
         x, x_lens = batch_inputs(batch)
         feats, feat_lens = featurizer(kf, x, x_lens, True)
         if shared_encoder is not None:
-            # frozen RNN-T encoder (no_grad, train_las:213-221)
+            # frozen RNN-T encoder (no_grad, train_las:213-221) — eval
+            # mode, so BatchNorm encoders need their running stats in the
+            # variables dict (full bundle variables, not just params)
             src = shared_encoder.apply(
-                {"params": shared_encoder_params}, feats, feat_lens,
+                shared_encoder_variables, feats, feat_lens,
                 method=Transducer.encode,
             )
             src_lens = shared_encoder.apply(
-                {"params": shared_encoder_params}, feat_lens,
+                shared_encoder_variables, feat_lens,
                 method=Transducer.encoder_out_len,
             )
             src = jax.lax.stop_gradient(src)

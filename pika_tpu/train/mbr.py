@@ -47,24 +47,39 @@ def mbr_losses(
     dropout_key=None,
     loss_chunk: int = 16,
     loss_backend: str = "auto",
+    batch_stats=None,
 ):
-    """Returns (total_objective, metrics) for one batch given decoded
-    N-best; differentiable w.r.t. ``params``."""
+    """Returns (total_objective, (metrics, new_batch_stats)) for one batch
+    given decoded N-best; differentiable w.r.t. ``params``.
+
+    The training forward runs in train mode (dropout on, BatchNorm in
+    batch-statistics mode with running stats updated) when ``dropout_key``
+    is given — the reference's ``model.train()`` between decodes
+    (train_transducer_mbr_bmuf_otfaug.py:90-91,124)."""
     if loss_backend == "auto":
         loss_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
     train = dropout_key is not None
     rngs = {"dropout": dropout_key} if train else None
     b, k, um = nbest["tokens"].shape
     blank = 0
 
-    enc = model.apply(variables, feats, feat_lens, method=Transducer.encode,
-                      rngs=rngs)
+    mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+    enc_out = model.apply(variables, feats, feat_lens, train,
+                          method=Transducer.encode, rngs=rngs, mutable=mutable)
+    if mutable:
+        enc, new_vars = enc_out
+        new_stats = new_vars.get("batch_stats", batch_stats)
+    else:
+        enc = enc_out
+        new_stats = batch_stats
     enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
     t_pad = enc.shape[1]
 
     # ---- RNN-T loss on reference labels --------------------------------
-    dec_ref = model.apply(variables, labels, label_lens,
+    dec_ref = model.apply(variables, labels, label_lens, train,
                           method=Transducer.predict, rngs=rngs)
     ax, gx, ay, gy = model.apply(variables, enc, dec_ref, method=Transducer.joint_factors)
     w2, b2 = model.apply(variables, method=Transducer.joint_params)
@@ -97,7 +112,8 @@ def mbr_losses(
     u_idx = jnp.cumsum((~is_blank).astype(jnp.int32), axis=1) - (~is_blank).astype(jnp.int32)
 
     dec_hyp = model.apply(
-        variables, hyps * (hyps >= 0), hyp_lens, method=Transducer.predict, rngs=rngs
+        variables, hyps * (hyps >= 0), hyp_lens, train,
+        method=Transducer.predict, rngs=rngs
     )  # (BK, Um+1, H)
     enc_rep = jnp.repeat(enc, k, axis=0)                        # (BK, T, H)
     x_path = jnp.take_along_axis(
@@ -120,7 +136,7 @@ def mbr_losses(
         "rnnt_loss": rnnt,
         "num_labels": label_lens.sum(),
     }
-    return total, metrics
+    return total, (metrics, new_stats)
 
 
 def make_mbr_step(
@@ -141,8 +157,11 @@ def make_mbr_step(
 
         kf, kd = jax.random.split(key)
         variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
         x, x_lens = batch_inputs(batch)
-        # decode on clean (no SpecAugment/dither) features
+        # decode on clean (no SpecAugment/dither) features, eval mode
+        # (the reference's model.eval() before decoding, :113)
         feats_c, lens_c = featurizer(None, x, x_lens, False)
         enc_c = model.apply(variables, feats_c, lens_c, method=Transducer.encode)
         enc_lens_c = model.apply(variables, lens_c, method=Transducer.encoder_out_len)
@@ -157,11 +176,14 @@ def make_mbr_step(
                 batch["labels"], batch["label_lens"], nbest,
                 rnnt_scale, sm_scale, dropout_key=kd,
                 loss_chunk=loss_chunk, loss_backend=loss_backend,
+                batch_stats=state.batch_stats,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), metrics
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt, batch_stats=new_stats), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -64,11 +64,10 @@ def main(argv=None):
         featurizer, input_dim, _ = common.featurizer_from_args(args)
     loader_cfg = common.loader_cfg_from_args(args)
 
-    shared = shared_params = None
+    shared = shared_vars = None
     las_input_dim = input_dim
     if args.shared_encoder_model:
         shared, shared_vars, _ = load_bundle(args.shared_encoder_model)
-        shared_params = shared_vars["params"]
         las_input_dim = shared.config.hid_dim
 
     pad_idx = args.padding_idx if args.padding_idx >= 0 else args.output_dim
@@ -89,7 +88,7 @@ def main(argv=None):
     tx = common.optimizer_from_args(args)
 
     step = make_las_train_step(
-        model, tx, featurizer, shared, shared_params,
+        model, tx, featurizer, shared, shared_vars,
         args.dec_loss_scale, args.enc_loss_scale, args.pretrain_decoder,
     )
     state = TrainState(

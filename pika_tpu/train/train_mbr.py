@@ -72,7 +72,14 @@ def main(argv=None):
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
         opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats"),
     )
+
+    def bundle_vars():
+        v = {"params": jax.device_get(state.params)}
+        if state.batch_stats is not None:
+            v["batch_stats"] = jax.device_get(state.batch_stats)
+        return v
     key = jax.random.PRNGKey(args.seed)
     num_done = 0
     import time as _time
@@ -104,15 +111,14 @@ def main(argv=None):
             if num_done % args.tmp_save_batches == 0:
                 drain()
                 save_bundle(f"{args.output_dir}/model.tmp", "transducer",
-                            model.config, {"params": jax.device_get(state.params)})
+                            model.config, bundle_vars())
         drain()
         logger.summarize_and_log()
         dt = _time.perf_counter() - t_epoch
         log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
                     f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
         save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "transducer",
-                    model.config, {"params": jax.device_get(state.params)},
-                    metadata={"epoch": epoch})
+                    model.config, bundle_vars(), metadata={"epoch": epoch})
     log_f.write("Training Finished\n")
     log_f.close()
 

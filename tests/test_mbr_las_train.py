@@ -80,8 +80,8 @@ def test_mbr_surrogate_gradient_direction(rng):
     nbest = beam_search(model, variables, enc, feat_lens, beam_cfg)
 
     def obj(params):
-        total, m = mbr_losses(model, params, feats, feat_lens, labels, label_lens,
-                              nbest, rnnt_scale=0.0, sm_scale=1.0)
+        total, (m, _) = mbr_losses(model, params, feats, feat_lens, labels,
+                                   label_lens, nbest, rnnt_scale=0.0, sm_scale=1.0)
         return total, m
 
     (val, metrics), grads = jax.value_and_grad(obj, has_aux=True)(variables["params"])
@@ -153,10 +153,73 @@ def test_las_shared_frozen_encoder(rng):
                        opt_state=tx.init(variables["params"]))
     step = make_las_train_step(model, tx, _identity_featurizer(8),
                                shared_encoder=tmodel,
-                               shared_encoder_params=tvars["params"], donate=False)
+                               shared_encoder_variables=tvars, donate=False)
     batch = {
         "wavs": jnp.asarray(rng.standard_normal((2, 9, 8)).astype(np.float32)),
         "wav_lens": jnp.asarray([9, 7], jnp.int32),
+        "labels": jnp.asarray([[0, 3, 7, VOCAB], [0, 2, 7, VOCAB]], jnp.int32),
+        "label_lens": jnp.asarray([3, 3], jnp.int32),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), 0.0)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_mbr_step_batchnorm_encoder(rng):
+    """MBR fine-tuning from a TDNN-Transformer (BatchNorm) bundle must
+    thread batch_stats through decode (eval mode) and the training
+    forward (batch mode, running stats updated) — the reference's
+    model.eval()/model.train() dance (train_transducer_mbr_bmuf_otfaug.py
+    :90-124).  Regression: this crashed with ScopeCollectionNotFound."""
+    cfg = TransducerConfig(input_dim=12, vocab_size=6, hid_dim=16,
+                           encoder_type="tdnn_transformer", decoder_type="rnn",
+                           enc_layers=5, dec_layers=1, embd_dim=8,
+                           tdnn_nhid=32, tdnn_layers=5)
+    model, variables = init_transducer(K, cfg, max_t=60, max_u=4)
+    assert "batch_stats" in variables
+    tx = optax.sgd(0.01)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=tx.init(variables["params"]),
+                       batch_stats=variables["batch_stats"])
+    beam_cfg = BeamConfig(beam_size=2, n_best=2, max_symbols=4, prune_dups=False)
+    step = make_mbr_step(model, tx, _identity_featurizer(12), beam_cfg,
+                         rnnt_scale=0.1, sm_scale=1.0, donate=False)
+    b, t, u = 2, 40, 2
+    batch = {
+        "wavs": jnp.asarray(rng.standard_normal((b, t, 12)).astype(np.float32)),
+        "wav_lens": jnp.asarray([t, t - 4], jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, 6, (b, u)).astype(np.int32)),
+        "label_lens": jnp.asarray([u, u], jnp.int32),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["mbr_loss"]))
+    # running stats moved (train-mode BN in the training forward)
+    s0 = jax.tree.leaves(state.batch_stats)
+    s1 = jax.tree.leaves(new_state.batch_stats)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(s0, s1))
+
+
+def test_las_shared_batchnorm_encoder(rng):
+    """LAS training on a frozen TDNN-Transformer (BatchNorm) shared
+    encoder needs the full bundle variables (params + batch_stats) —
+    regression for the params-only wiring."""
+    tcfg = TransducerConfig(input_dim=12, vocab_size=VOCAB, hid_dim=16,
+                            encoder_type="tdnn_transformer", decoder_type="rnn",
+                            enc_layers=5, dec_layers=1, embd_dim=8,
+                            tdnn_nhid=32, tdnn_layers=5)
+    tmodel, tvars = init_transducer(K, tcfg, max_t=60, max_u=4)
+    las_cfg = LASConfig(input_dim=16, output_dim=VOCAB, pad_idx=VOCAB, rnn_size=16,
+                        enc_layers=1, dec_layers=1, embd_dim=8)
+    model, variables = init_las(jax.random.PRNGKey(9), las_cfg)
+    tx = optax.adam(0.01)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=tx.init(variables["params"]))
+    step = make_las_train_step(model, tx, _identity_featurizer(12),
+                               shared_encoder=tmodel,
+                               shared_encoder_variables=tvars, donate=False)
+    batch = {
+        "wavs": jnp.asarray(rng.standard_normal((2, 40, 12)).astype(np.float32)),
+        "wav_lens": jnp.asarray([40, 36], jnp.int32),
         "labels": jnp.asarray([[0, 3, 7, VOCAB], [0, 2, 7, VOCAB]], jnp.int32),
         "label_lens": jnp.asarray([3, 3], jnp.int32),
     }
