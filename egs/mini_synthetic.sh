@@ -94,3 +94,50 @@ echo "=== stage 5: batch decode the CLEAN copy of the same utterances ==="
 python -m pika_tpu.train.eval_transducer \
     $model $data/test_clean/wav.scp $work/nbest_clean.txt \
     --ref_labels ark:$data/test_clean/label.txt $decode_flags
+
+# ---- optional full-pipeline stages (MBR fine-tune + LAS rescoring) -------
+# Run with:  FULL_PIPELINE=1 bash egs/mini_synthetic.sh [workdir]
+# Measured on one run (noisy test): RNN-T 15.59% -> MBR 15.24% -> +LAS
+# fw/bw rescoring 15.17%.
+[ "${FULL_PIPELINE:-0}" = 1 ] || exit 0
+
+aug_flags="--feats_dim 40 --lctx 1 --rctx 1 --stride 1
+    --speed_rate 0.96,1.0,1.04 --gain_range 55,10
+    --noise_lst $data/noise.lst --snr_range 10,30 --max_wav_seconds 4.0"
+
+echo "=== stage 6: MBR fine-tuning (train_transducer_mbr equivalent) ==="
+mkdir -p $work/mbr
+python -m pika_tpu.train.train_mbr \
+    $data/train/data.lst $work/mbr/train.log $work/mbr \
+    --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
+    --init_model $model \
+    --initial_lr 2e-5 --final_lr 5e-6 --grad_clip 3.0 --momentum 0.9 \
+    --num_epochs 2 --num_batches_per_epoch 94 --batch_size 16 \
+    --output_dim 31 --beam_size 4 --sm_scale 1.2 --rnnt_scale 0.02 \
+    $aug_flags
+mbr_model=$work/mbr/model.epoch.1
+
+echo "=== stage 7: LAS forward + backward rescorer training ==="
+for d in fw bw; do
+    rev=""; [ $d = bw ] && rev="--reverse_labels"
+    mkdir -p $work/las_$d
+    python -m pika_tpu.train.train_las \
+        $data/train/data.lst $work/las_$d/train.log $work/las_$d \
+        --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
+        --shared_encoder_model $model \
+        --SOS 0 --EOS 31 --padding_tgt 32 --padding_idx 32 --output_dim 32 \
+        --enc_layers 1 --dec_layers 1 --rnn_size 128 --embd_dim 32 \
+        --global_attention mlp \
+        --optim adam --initial_lr 3e-4 --final_lr 5e-5 \
+        --num_epochs 8 --num_batches_per_epoch 94 --batch_size 16 \
+        --sampling_decoder --sampling_prob 0.1 --increase_sampling_prob_epoch 4 \
+        $rev $aug_flags
+done
+
+echo "=== stage 8: decode MBR model with LAS fw/bw rescoring ==="
+python -m pika_tpu.train.eval_transducer \
+    $mbr_model $data/test/wav.scp $work/nbest_noisy_rescored.txt \
+    --ref_labels ark:$data/test/label.txt \
+    --las_rescorer_model $work/las_fw/model.epoch.7 \
+    --las_rescorer_bw_model $work/las_bw/model.epoch.7 \
+    --SOS 0 --EOS 31 $decode_flags

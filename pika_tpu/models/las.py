@@ -106,6 +106,7 @@ class LAS(nn.Module):
             )
         self.embed = nn.Embed(cfg.output_dim + 1, cfg.embd_dim, name="embed")
         self.dec_proj = nn.Dense(cfg.output_dim, name="dec_proj")
+        self.out_dropout = nn.Dropout(cfg.dropout)
 
         init_d = nn.initializers.lecun_normal()
         # input-feed stacked LSTM cells
@@ -324,7 +325,7 @@ class LAS(nn.Module):
             tgt_in, ds_out, ds_hidden, ds_lengths, sampling_prob, sampling_key
         )
         if train and self.config.dropout > 0:
-            outputs = nn.Dropout(self.config.dropout)(outputs, deterministic=False)
+            outputs = self.out_dropout(outputs, deterministic=False)
         return outputs, attns, enc_out
 
     def output_logits(self, dec_outputs):

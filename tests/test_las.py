@@ -109,3 +109,25 @@ def test_las_sru_encoder(rng):
     out, _, enc = model.apply(variables, src, tgt, jnp.asarray([10, 10]))
     assert out.shape == (2, 4, 16)
     assert enc.shape == (2, 10, 16)
+
+
+def test_las_train_mode_dropout(rng):
+    """train=True with dropout>0 must run (regression: inline nn.Dropout in
+    a setup-style module raised AssignSubModuleError) and be stochastic
+    across dropout keys."""
+    import optax
+    from pika_tpu.train import TrainState
+    from pika_tpu.train.las_step import las_loss
+
+    cfg = LASConfig(input_dim=8, output_dim=8, pad_idx=8, rnn_size=16,
+                    enc_layers=1, dec_layers=1, embd_dim=8, dropout=0.5)
+    model, variables = init_las(jax.random.PRNGKey(0), cfg)
+    src = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))
+    tgt = jnp.asarray([[0, 3, 4, 7, 8, 8], [0, 2, 7, 8, 8, 8]], jnp.int32)
+    lens = jnp.asarray([10, 10])
+    l1, _ = las_loss(model, variables["params"], src, lens, tgt,
+                     key=jax.random.PRNGKey(1))
+    l2, _ = las_loss(model, variables["params"], src, lens, tgt,
+                     key=jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l1) != float(l2)
