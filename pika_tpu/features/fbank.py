@@ -263,6 +263,19 @@ def make_fbank_fn(config: FbankConfig, max_samples: int):
     gather_idx = frame_starts[:, None] + np.arange(flen)[None, :]
     gather_idx = jnp.asarray(gather_idx)
 
+    # Matmul-DFT: XLA's FFT lowering is slow on TPU, while a dense
+    # (flen, padded/2) cos/sin projection runs on the MXU — zero-padding
+    # the window to ``padded`` is equivalent to truncating the DFT basis
+    # to the first ``flen`` rows.  Only bins [0, padded/2) are needed
+    # (the mel banks never read Nyquist).  HIGHEST precision keeps the
+    # f32 accuracy the ≤1e-4 parity tests require (default TPU matmul
+    # precision is bf16 multiplies).
+    _n = np.arange(flen, dtype=np.float64)[:, None]
+    _k = np.arange(padded // 2, dtype=np.float64)[None, :]
+    _ang = 2.0 * np.pi * _n * _k / padded
+    dft_cos = jnp.asarray(np.cos(_ang).astype(np.float32))
+    dft_sin = jnp.asarray(np.sin(_ang).astype(np.float32))
+
     def fbank(waveforms: jnp.ndarray, num_samples: jnp.ndarray, key: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = waveforms.astype(jnp.float32)
         frames = x[:, gather_idx]  # (B, F, flen)
@@ -274,12 +287,15 @@ def make_fbank_fn(config: FbankConfig, max_samples: int):
             shifted = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
             frames = frames - preemph * shifted
         frames = frames * window
-        spec = jnp.fft.rfft(frames, n=padded, axis=-1)
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        re = jnp.einsum("bfn,nk->bfk", frames, dft_cos,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = jnp.einsum("bfn,nk->bfk", frames, dft_sin,
+                        precision=jax.lax.Precision.HIGHEST)
+        power = re ** 2 + im ** 2
         if not config.use_power:
             power = jnp.sqrt(power)
         energies = jnp.einsum(
-            "bfk,km->bfm", power[..., : padded // 2], mel,
+            "bfk,km->bfm", power, mel,
             preferred_element_type=jnp.float32,
         )
         if config.use_log_fbank:
