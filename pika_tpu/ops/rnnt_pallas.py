@@ -302,9 +302,18 @@ def _bwd_w_kernel(labels_ref,
 
 def joint_channels_pallas_bwd(
     ax, gx, ay, gy, w2, b2, labels_ext, lse, d_lse, d_zb, d_zy,
-    block_t: int = 128, block_u: int = 8, block_v: int = 512,
+    block_t: int = 128, block_u: int = 8, block_v: int = 0,
     mm_dtype=jnp.bfloat16,
 ):
+    if block_v == 0:
+        # Mosaic's scoped-VMEM stack for these kernels grows slowly with
+        # the padded T extent (~0.25MB per doubling) and crosses the 16MB
+        # limit between Tp=256 and Tp=768 at block_v=512 (observed
+        # empirically, and again near Tp=1536 at 256); shrink the V-tile
+        # for long utterances.  (block_t must stay a multiple of 128 —
+        # it is the minor dim of the channel blocks.)
+        tp = _ceil_to(ax.shape[1], block_t)
+        block_v = 512 if tp <= 512 else (256 if tp <= 1024 else 128)
     # VMEM budget note: the input-grad kernel's dh scratch plus the
     # double-buffered h/ax/gx/w2 inputs and dax/dgx output accumulators sit
     # close to the 16MB scoped-VMEM limit; see the scratch_shapes comment.

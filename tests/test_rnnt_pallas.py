@@ -93,3 +93,28 @@ def test_fused_loss_pallas_backend(rng):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=5e-4, atol=5e-5)
     finally:
         rp.joint_channels_pallas, rp.joint_channels_pallas_bwd = orig_fwd, orig_bwd
+
+
+def test_bwd_adaptive_block_v_long_t(rng):
+    """The backward kernels shrink block_v for long padded T (Mosaic's
+    scoped-VMEM stack grows with Tp and crosses the 16MB limit at
+    block_v=512 past Tp=512 — observed on v5e).  Check the adaptive
+    default kicks in and the gradients still match the XLA backward."""
+    args = _case(rng, b=1, t=520, u1=6, h=16, v=40)
+    ax, gx, ay, gy, w2, b2, labels_ext = args
+    labels = labels_ext[:, :-1]
+    t_len = jnp.asarray([517], jnp.int32)
+    u_len = jnp.asarray([4], jnp.int32)
+
+    def loss(backend, *diff):
+        return rnnt_loss_fused(*diff, labels, t_len, u_len, 16, backend).sum()
+
+    gx_ref = jax.grad(lambda *d: loss("xla", *d), argnums=(0, 2, 4))(
+        ax, gx, ay, gy, w2, b2)
+    # default block_v=0 -> adaptive path (256 for Tp=640); mm stays bf16,
+    # hence the looser tolerance
+    gx_pal = jax.grad(lambda *d: loss("pallas", *d), argnums=(0, 2, 4))(
+        ax, gx, ay, gy, w2, b2)
+    for r, g in zip(gx_ref, gx_pal):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0.05, atol=0.05)
