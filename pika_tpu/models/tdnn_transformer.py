@@ -40,6 +40,7 @@ class TDNNTransformerEncoder(nn.Module):
     filter_size: int = 3
     heads: Sequence[int] = (16, 16, 8)
     transformer_dropout: float = 0.2
+    attn_chunk: int = 0  # query-block chunked attention (O(T*chunk) memory)
     remat: bool = False  # jax.checkpoint each transformer layer: recompute
     #                      activations in the backward pass instead of
     #                      holding the (B,H,T,T) attention tensors in HBM —
@@ -92,7 +93,9 @@ class TDNNTransformerEncoder(nn.Module):
                              if self.remat else TransformerEncoderLayer)
                 x = layer_cls(
                     nhid, self.heads[t_layer], nhid * 4,
-                    self.transformer_dropout, name=f"transformer_{t_layer}",
+                    self.transformer_dropout,
+                    attn_q_chunk=self.attn_chunk,
+                    name=f"transformer_{t_layer}",
                 )(x, None, not train)
                 t_layer += 1
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,

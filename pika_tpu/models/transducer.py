@@ -45,6 +45,7 @@ class TransducerConfig:
     tdnn_layers: int = 9
     tdnn_transformer_dropout: float = 0.2  # rnnt_tdnn_transformer.py:64
     remat: bool = False      # rematerialize encoder transformer layers
+    attn_chunk: int = 0      # chunked encoder attention (0 = full T x T)
     dec_d_model: int = 512
     dec_heads: int = 8
     dec_d_ff: int = 2048
@@ -72,6 +73,7 @@ class Transducer(nn.Module):
                 tdnn_layers=cfg.tdnn_layers,
                 transformer_dropout=cfg.tdnn_transformer_dropout,
                 remat=cfg.remat,
+                attn_chunk=cfg.attn_chunk,
                 name="encoder",
             )
         self.embed = nn.Embed(cfg.vocab_size + 1, cfg.embd_dim, name="embed")

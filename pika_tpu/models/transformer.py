@@ -78,6 +78,12 @@ class MultiHeadedAttention(nn.Module):
     dropout_rate: float = 0.1
     max_relative_positions: int = 0
     mm_dtype: Optional[jnp.dtype] = jnp.bfloat16
+    # q_chunk > 0: scan over query blocks of this size with a
+    # rematerialized body — never holds the full (B, H, T, T) score
+    # tensor (or the (T, T, d_head) relative-position lookup) in HBM.
+    # Exact same math as the full path; only the dropout RNG pattern
+    # differs.  Pair with encoder remat for O(T·chunk) attention memory.
+    q_chunk: int = 0
 
     @nn.compact
     def __call__(
@@ -102,11 +108,18 @@ class MultiHeadedAttention(nn.Module):
         q = split_heads(nn.Dense(dim, name="linear_query")(query))
 
         q = q / jnp.asarray(math.sqrt(d_head), q.dtype)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
 
-        if self.max_relative_positions > 0 and tq == tk:
-            rel_ids = relative_positions_matrix(tk, self.max_relative_positions)
-            rel_k = nn.Embed(2 * self.max_relative_positions + 1, d_head, name="relative_positions_embeddings")(rel_ids)
+        m = self.max_relative_positions
+        use_rel = m > 0 and tq == tk
+
+        if self.q_chunk > 0 and tq > self.q_chunk:
+            return self._chunked(q, k, v, mask, use_rel, deterministic,
+                                 query.dtype, b, tq, tk, dim, d_head)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if use_rel:
+            rel_ids = relative_positions_matrix(tk, m)
+            rel_k = nn.Embed(2 * m + 1, d_head, name="relative_positions_embeddings")(rel_ids)
             # scores += q · rel_k for each (query pos, key pos)
             scores = scores + jnp.einsum("bhqd,qkd->bhqk", q, rel_k)
 
@@ -117,6 +130,69 @@ class MultiHeadedAttention(nn.Module):
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
         ctx = ctx.astype(query.dtype).transpose(0, 2, 1, 3).reshape(b, tq, dim)
+        return nn.Dense(dim, name="final_linear")(ctx)
+
+    def _chunked(self, q, k, v, mask, use_rel, deterministic, out_dtype,
+                 b, tq, tk, dim, d_head):
+        """Query-block scan: per block the scores are (B, H, qc, Tk) and the
+        relative-position bias comes from a gather over the small
+        (B, H, qc, 2m+1) q·E products — nothing quadratic in T is ever
+        materialized.  The block body is rematerialized, so the backward
+        pass recomputes instead of saving per-block probabilities."""
+        qc = self.q_chunk
+        m = self.max_relative_positions
+        n_chunks = -(-tq // qc)
+        tq_p = n_chunks * qc
+        h = self.head_count
+
+        q_p = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+        # (n, B, H, qc, d) scan xs
+        q_x = q_p.reshape(b, h, n_chunks, qc, d_head).transpose(2, 0, 1, 3, 4)
+
+        rel_prod = None
+        if use_rel:
+            rel_table = nn.Embed(2 * m + 1, d_head,
+                                 name="relative_positions_embeddings")(
+                jnp.arange(2 * m + 1))
+            rel_prod = jnp.einsum("nbhqd,rd->nbhqr", q_x, rel_table,
+                                  preferred_element_type=jnp.float32)
+
+        mask_x = None
+        if mask is not None:
+            mask_p = jnp.pad(mask, ((0, 0), (0, tq_p - tq), (0, 0)))
+            mask_x = mask_p.reshape(b, n_chunks, qc, tk).transpose(1, 0, 2, 3)
+
+        drop = (not deterministic) and self.dropout_rate > 0
+        keys_x = (jax.random.split(self.make_rng("dropout"), n_chunks)
+                  if drop else jnp.zeros((n_chunks, 2), jnp.uint32))
+        starts_x = jnp.arange(n_chunks) * qc
+        k_pos = jnp.arange(tk)
+
+        def body(_, xs):
+            q_c, rel_c, mask_c, key_c, start = xs
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q_c, k,
+                                preferred_element_type=jnp.float32)
+            if use_rel:
+                dist = k_pos[None, :] - (start + jnp.arange(qc))[:, None]
+                rel_ids = jnp.clip(dist, -m, m) + m          # (qc, Tk)
+                scores = scores + jnp.take_along_axis(
+                    rel_c, rel_ids[None, None], axis=-1)
+            if mask_c is not None:
+                scores = jnp.where(mask_c[:, None, :, :], -1e18, scores)
+            attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            if drop:
+                keep = 1.0 - self.dropout_rate
+                bern = jax.random.bernoulli(key_c, keep, attn.shape)
+                attn = jnp.where(bern, attn / keep, 0).astype(v.dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                             preferred_element_type=jnp.float32)
+            return None, ctx
+
+        xs = (q_x, rel_prod, mask_x, keys_x, starts_x)
+        _, ctx = jax.lax.scan(jax.checkpoint(body), None, xs)
+        # (n, B, H, qc, d) -> (B, H, Tq, d)
+        ctx = ctx.transpose(1, 2, 0, 3, 4).reshape(b, h, tq_p, d_head)[:, :, :tq]
+        ctx = ctx.astype(out_dtype).transpose(0, 2, 1, 3).reshape(b, tq, dim)
         return nn.Dense(dim, name="final_linear")(ctx)
 
 
@@ -145,13 +221,15 @@ class TransformerEncoderLayer(nn.Module):
     d_ff: int
     dropout_rate: float
     max_relative_positions: int = 0
+    attn_q_chunk: int = 0   # see MultiHeadedAttention.q_chunk
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None, deterministic: bool = True) -> jnp.ndarray:
         x_norm = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(x)
         ctx = MultiHeadedAttention(
             self.heads, self.d_model, self.dropout_rate,
-            self.max_relative_positions, name="self_attn",
+            self.max_relative_positions, q_chunk=self.attn_q_chunk,
+            name="self_attn",
         )(x_norm, x_norm, x_norm, mask=mask, deterministic=deterministic)
         out = nn.Dropout(self.dropout_rate)(ctx, deterministic=deterministic) + x
         return PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate, name="feed_forward")(

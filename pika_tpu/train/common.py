@@ -78,6 +78,11 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                              "Transformer encoder's transformer layers "
                              "(reference hardcodes 0.2, "
                              "rnnt_tdnn_transformer.py:64)")
+    parser.add_argument("--attn_chunk", type=int, default=0,
+                        help="chunked encoder self-attention: scan over "
+                             "query blocks of this size (O(T*chunk) memory "
+                             "instead of O(T^2)); 0 = full attention. "
+                             "Combine with --remat for the longest inputs")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder transformer layers in "
                              "the backward pass (jax.checkpoint): trades "

@@ -190,3 +190,64 @@ def test_remat_encoder_matches_exact(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_attention_matches_full(rng):
+    """q_chunk query-block attention must be numerically identical to the
+    full path (same params, same math — only the memory schedule and the
+    dropout RNG pattern differ), with and without relative positions and
+    masks."""
+    from pika_tpu.models.transformer import MultiHeadedAttention
+
+    b, t, dim, h = 2, 50, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, t, dim)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, t, t)) < 0.1)
+    for m_rel in (0, 6):
+        for use_mask in (None, mask):
+            full = MultiHeadedAttention(h, dim, 0.0, m_rel, mm_dtype=None)
+            ck = MultiHeadedAttention(h, dim, 0.0, m_rel, mm_dtype=None,
+                                      q_chunk=16)
+            v = full.init(jax.random.PRNGKey(0), x, x, x, mask=use_mask)
+            o1 = full.apply(v, x, x, x, mask=use_mask)
+            o2 = ck.apply(v, x, x, x, mask=use_mask)
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                       atol=1e-5)
+    # gradients through the rematerialized scan body
+    full = MultiHeadedAttention(h, dim, 0.0, 6, mm_dtype=None)
+    ck = MultiHeadedAttention(h, dim, 0.0, 6, mm_dtype=None, q_chunk=16)
+    v = full.init(jax.random.PRNGKey(0), x, x, x)
+    g1 = jax.grad(lambda p: (full.apply(p, x, x, x) ** 2).sum())(v)
+    g2 = jax.grad(lambda p: (ck.apply(p, x, x, x) ** 2).sum())(v)
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-3)
+    # train-mode dropout runs under the scan (per-chunk bernoulli keys)
+    ckd = MultiHeadedAttention(h, dim, 0.3, 6, mm_dtype=None, q_chunk=16)
+    o = ckd.apply(v, x, x, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(5)})
+    assert np.isfinite(np.asarray(o)).all()
+
+
+def test_attn_chunk_transducer_config(rng):
+    """attn_chunk through the full transducer: same loss as full attention."""
+    from pika_tpu.train import transducer_loss
+
+    def build(chunk):
+        cfg = TransducerConfig(input_dim=24, vocab_size=12, hid_dim=16,
+                               encoder_type="tdnn_transformer",
+                               decoder_type="rnn", enc_layers=5, dec_layers=1,
+                               embd_dim=8, tdnn_nhid=32, tdnn_layers=5,
+                               attn_chunk=chunk)
+        return init_transducer(K, cfg, max_t=60, max_u=4)
+
+    x = jnp.asarray(rng.standard_normal((2, 60, 24)).astype(np.float32))
+    y = jnp.asarray(rng.integers(1, 12, (2, 3)).astype(np.int32))
+    xl = jnp.asarray([60, 52], jnp.int32)
+    yl = jnp.asarray([3, 2], jnp.int32)
+    losses = []
+    for chunk in (0, 16):
+        model, variables = build(chunk)
+        loss, _ = transducer_loss(model, variables["params"],
+                                  variables.get("batch_stats"), x, xl, y, yl,
+                                  train=False)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
