@@ -181,9 +181,20 @@ class MultiHeadedAttention(nn.Module):
                 scores = jnp.where(mask_c[:, None, :, :], -1e18, scores)
             attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
             if drop:
+                # Two deliberate deltas from nn.Dropout, both for memory in
+                # the rematerialized backward (where several iterations'
+                # buffers coexist): (a) raw-bits threshold compare instead
+                # of bernoulli — the bernoulli->uniform chain contains
+                # full-shape constant broadcasts that XLA hoists out of the
+                # scan loop, one 1.5GB live buffer per hoisted op at T=6000
+                # (observed); (b) the mask is shared across heads (16x
+                # smaller) — still unbiased dropout noise on the attention
+                # probabilities, just correlated between heads.
                 keep = 1.0 - self.dropout_rate
-                bern = jax.random.bernoulli(key_c, keep, attn.shape)
-                attn = jnp.where(bern, attn / keep, 0).astype(v.dtype)
+                thr = jnp.uint32(int(round(keep * 0xFFFFFFFF)))
+                bits = jax.random.bits(
+                    key_c, (attn.shape[0], 1) + attn.shape[2:], jnp.uint32)
+                attn = jnp.where(bits < thr, attn / keep, 0).astype(v.dtype)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                              preferred_element_type=jnp.float32)
             return None, ctx
