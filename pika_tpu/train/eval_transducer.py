@@ -44,6 +44,11 @@ def build_parser():
     parser.add_argument("--symbols_map", type=str, default=None)
     parser.add_argument("--ref_labels", type=str, default=None,
                         help="label.txt for WER scoring")
+    parser.add_argument("--attn_chunk", type=int, default=-1,
+                        help="override the bundle's encoder attention "
+                             "chunking for decode (-1 keeps the trained "
+                             "setting; >0 enables O(T*chunk)-memory "
+                             "attention for long audio, 0 forces full)")
     parser.add_argument("--beam_size", type=int, default=8)
     parser.add_argument("--n_best", type=int, default=8)
     parser.add_argument("--blk", type=int, default=0)
@@ -80,6 +85,10 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     model, variables, _ = load_bundle(args.model)
+    if args.attn_chunk >= 0 and getattr(model.config, "attn_chunk", None) is not None:
+        import dataclasses as _dc
+
+        model = type(model)(_dc.replace(model.config, attn_chunk=args.attn_chunk))
     args.spec_augment = False
     args.max_freq_span = args.max_time_span = 0
     args.cmn = getattr(args, "cmn", False)

@@ -165,6 +165,13 @@ def test_full_recipe(tmp_path, rng):
     assert (open(f"{d}/nbest_utt.txt").read()
             == open(f"{d}/nbest_wav_plain.txt").read())
 
+    # --attn_chunk decode override is bit-exact vs the bundle's full
+    # attention (the chunked path computes identical math)
+    eval_main([model_dir, f"{d}/wav.scp", f"{d}/nbest_chunked.txt",
+               "--attn_chunk", "4", *plain_flags])
+    assert (open(f"{d}/nbest_chunked.txt").read()
+            == open(f"{d}/nbest_wav_plain.txt").read())
+
     # 4b) BMUF training mode smoke (2 virtual devices, sync_period 2)
     os.makedirs(f"{d}/exp_bmuf", exist_ok=True)
     train_main([
