@@ -79,7 +79,7 @@ model_flags="--encoder_type transformer --enc_layers 9
 
 echo "=== stage 3a: RNN-T warm-up, clean augmentation only (speed ±4%, gain; 20 epochs) ==="
 python -m pika_tpu.train.train_transducer \
-    $data/train/data.lst $exp/train.log $exp \
+    $data/train/data.lst $exp/train_warmup.log $exp \
     --feat_config $conf \
     --cmvn_stats $data/train/global_cmvn.stats \
     --optim adam --initial_lr 0.001 --final_lr 0.0008 \
