@@ -51,4 +51,12 @@ if [ $stage -le 2 ]; then
     --spec_augment --max_freq_span 15 --max_time_span 35 \
     --dp_mode bmuf --sync_period 5 --block_momentum 0.9 --block_lr 1.0 \
     ${num_devices:+--num_devices $num_devices}
+    # optional knobs:
+    #   --noise_lst noise.lst --snr_range 10,30 --noise_prob 0.5
+    #       on-the-fly noise mixing (multi-condition at prob < 1)
+    #   --remat --attn_chunk 512
+    #       long-utterance memory levers: rematerialized encoder layers +
+    #       query-block chunked attention (60s inputs fit one 16GB chip)
+    #   --compute_dtype bfloat16
+    #       bf16 activations, f32 master params/optimizer
 fi
