@@ -48,7 +48,16 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, emb: jnp.ndarray, step: Optional[int] = None, deterministic: bool = True):
-        pe = jnp.asarray(sinusoidal_positions(self.max_len, self.dim))
+        # computed with jnp ops, NOT jnp.asarray(numpy table): a numpy
+        # table lowers to a (max_len, dim) inline literal in the program
+        # (10MB+ of MLIR at d_model 512), which breaks remote-compile
+        # transports and bloats every cache key
+        position = jnp.arange(self.max_len, dtype=jnp.float32)[:, None]
+        div_term = jnp.exp(jnp.arange(0, self.dim, 2, dtype=jnp.float32)
+                           * -(math.log(10000.0) / self.dim))
+        ang = position * div_term
+        pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(
+            self.max_len, self.dim)
         emb = emb * math.sqrt(self.dim)
         if step is None:
             emb = emb + pe[None, : emb.shape[1], :]
