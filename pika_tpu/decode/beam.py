@@ -27,13 +27,16 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pika_tpu.decode.fst import fst_advance_sets, fst_final_scores
 from pika_tpu.models.transducer import Transducer
 from pika_tpu.utils.dtypes import cast_floats, resolve_mm_dtype
 
 NEG = -1.0e20
-HASH_MULT = jnp.uint32(1000003)
+# numpy, NOT jnp: a module-level jnp call initializes the XLA backend at
+# import time, which forbids a later jax.distributed.initialize
+HASH_MULT = np.uint32(1000003)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,8 +53,10 @@ class BeamConfig:
     fst_backoff_levels: int = 6
     # matmul compute dtype inside the decode loop: "auto" = bf16 on TPU
     # (MXU native, ~2x f32), f32 elsewhere.  Scores, log_softmax and all
-    # beam bookkeeping stay float32 either way.
-    mm_dtype: Optional[str] = "auto"
+    # beam bookkeeping stay float32 either way.  The library default is
+    # float32 so programmatic callers get full-precision numerics; the
+    # CLIs (eval_transducer --decode_dtype, train_mbr) opt into "auto".
+    mm_dtype: Optional[str] = None
 
 
 class _BeamState(NamedTuple):

@@ -28,7 +28,7 @@ def greedy_decode(
     enc_out: jnp.ndarray,
     enc_lens: jnp.ndarray,
     max_symbols: int = 200,
-    mm_dtype="auto",
+    mm_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch given encoder output.
 
@@ -36,7 +36,8 @@ def greedy_decode(
     Supports both prediction nets: LSTM decoders advance incrementally;
     transformer decoders re-forward the full prefix each emission.
     ``mm_dtype="auto"`` runs the loop matmuls in bf16 on TPU (argmax is
-    taken over f32-upcast logits).
+    taken over f32-upcast logits); the library default is float32 — the
+    decode CLI opts into "auto" via ``--decode_dtype``.
     """
     is_rnn = model.config.decoder_type == "rnn"
     b, t_max, _ = enc_out.shape
@@ -144,7 +145,7 @@ def greedy_decode(
 
 
 def greedy_decode_waveforms(model, variables, featurizer, wavs, wav_lens,
-                            max_symbols: int = 200, mm_dtype="auto"):
+                            max_symbols: int = 200, mm_dtype=None):
     """Wav → features → encoder → greedy decode, one jittable function."""
     feats, feat_lens = featurizer(None, wavs, wav_lens, False)
     enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)

@@ -48,6 +48,12 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, emb: jnp.ndarray, step: Optional[int] = None, deterministic: bool = True):
+        if self.dim % 2 != 0:
+            # the sin/cos interleave below needs an even model dim; fail
+            # clearly (reference: sinusoidal_positions' ValueError,
+            # modules/transformer.py:20-22) instead of a reshape mismatch
+            raise ValueError(
+                f"PositionalEncoding needs an even dim, got {self.dim}")
         # computed with jnp ops, NOT jnp.asarray(numpy table): a numpy
         # table lowers to a (max_len, dim) inline literal in the program
         # (10MB+ of MLIR at d_model 512), which breaks remote-compile

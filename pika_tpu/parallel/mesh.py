@@ -39,4 +39,11 @@ def shard_batch(batch: dict, mesh: Mesh, leading_unsharded: int = 0) -> dict:
 
 
 def replicate_tree(tree, mesh: Mesh):
+    if jax.process_count() > 1:
+        # Multi-host: leaves created by ordinary jnp ops are committed to
+        # the process-local default device; device_put cannot scatter a
+        # committed single-device array onto a cross-process sharding.
+        # Bounce through host numpy (uncommitted) — every process holds
+        # the same values (same seeds), so the replication is consistent.
+        tree = jax.device_get(tree)
     return jax.device_put(tree, replicated(mesh))

@@ -26,13 +26,21 @@ _KINDS = {
 
 
 def save_bundle(directory: str, kind: str, config, variables, metadata: Optional[dict] = None) -> str:
+    """Write a bundle.  Multi-host: EVERY process must call this (Orbax's
+    ``Checkpointer.save`` runs cross-process barriers; the primary host
+    writes, the rest synchronize — gating the call on process 0 deadlocks
+    the save barrier against the other hosts' next collective)."""
+    import jax
+
     directory = os.path.abspath(directory)
-    os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, "model.json"), "w") as f:
-        json.dump(
-            {"kind": kind, "config": dataclasses.asdict(config), "metadata": metadata or {}},
-            f, indent=2,
-        )
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "model.json"), "w") as f:
+            json.dump(
+                {"kind": kind, "config": dataclasses.asdict(config), "metadata": metadata or {}},
+                f, indent=2,
+            )
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(directory, "variables"), dict(variables), force=True)
     ckptr.wait_until_finished()

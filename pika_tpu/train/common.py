@@ -21,6 +21,45 @@ from pika_tpu.train.step import (
 )
 
 
+def maybe_distributed_init(args):
+    """Multi-host SPMD init (replaces ``torch.distributed.launch
+    --nnodes/--node_rank/--master_addr``, the reference's multi-node
+    template at egs/train_transducer_mbr_bmuf_otfaug.sh:37).
+
+    Every host runs the SAME training command with its own
+    ``--process_id``; ``jax.distributed`` wires the pod/DCN topology and
+    the device mesh then spans all hosts.  Returns
+    ``(process_index, process_count)`` — callers use process 0 for
+    checkpoint/bundle writes and substitute the index into WORKER-ID
+    log paths.
+    """
+    import jax
+
+    if getattr(args, "coordinator_address", None):
+        if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+            # Multi-process CPU collectives need an explicit cross-host
+            # implementation (the 2-process test topology,
+            # tests/test_multihost.py); TPU meshes ride ICI/DCN natively.
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def host_key(key):
+    """A PRNG key as host numpy, safe to feed a multi-host jit.
+
+    ``jax.random.split`` commits its output to the process-local default
+    device; feeding that committed single-device array into a computation
+    over a multi-host mesh is a device-assignment error.  A numpy array is
+    uncommitted — jit replicates it onto the mesh (every process computes
+    the same value, so the replication is consistent)."""
+    return np.asarray(key)
+
+
 def add_loader_args(parser: argparse.ArgumentParser) -> None:
     """Loader flags (loader/otf_utt_loader.py:68-114)."""
     parser.add_argument("--lctx", type=int, default=1)
@@ -82,7 +121,10 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                         help="chunked encoder self-attention: scan over "
                              "query blocks of this size (O(T*chunk) memory "
                              "instead of O(T^2)); 0 = full attention. "
-                             "Combine with --remat for the longest inputs")
+                             "Combine with --remat for the longest inputs. "
+                             "Note: train-time attention-dropout noise "
+                             "differs from the full path (one mask shared "
+                             "across heads, memory-proportional to a block)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder transformer layers in "
                              "the backward pass (jax.checkpoint): trades "

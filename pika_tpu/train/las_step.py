@@ -87,9 +87,12 @@ def make_las_train_step(
     enc_loss_scale: float = 0.0,
     pretrain_decoder: bool = False,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted LAS train step.  ``sampling_prob`` is a traced
-    argument so the schedule (train_las:185-190) needs no recompiles."""
+    argument so the schedule (train_las:185-190) needs no recompiles.
+    ``jit=False`` returns the raw step for callers that wrap it themselves
+    (mesh DP shardings, or a BMUF round's local step)."""
 
     def step_fn(state: TrainState, batch, key, sampling_prob):
         from pika_tpu.train.step import batch_inputs
@@ -127,4 +130,6 @@ def make_las_train_step(
         metrics["loss"] = loss
         return new_state, metrics
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

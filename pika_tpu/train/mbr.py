@@ -149,8 +149,12 @@ def make_mbr_step(
     loss_chunk: int = 16,
     loss_backend: str = "auto",
     donate: bool = True,
+    jit: bool = True,
 ):
-    """One MBR batch: decode → risk-weighted surrogate + RNN-T loss → update."""
+    """One MBR batch: decode → risk-weighted surrogate + RNN-T loss → update.
+
+    ``jit=False`` returns the raw step for callers that wrap it themselves
+    (``jit_dp`` over a device mesh, or a BMUF round's local step)."""
 
     def step_fn(state: TrainState, batch, key):
         from pika_tpu.train.step import batch_inputs
@@ -186,4 +190,6 @@ def make_mbr_step(
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt, batch_stats=new_stats), metrics
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -4,22 +4,40 @@ Trains the forward rescorer; pass ``--reverse_labels`` for the backward
 rescorer (README.md:81-84).  ``--shared_encoder_model`` freezes an RNN-T
 bundle's encoder as the LAS input (train_las:512-518);
 ``--pretrain_decoder`` runs decoder-only LM pretraining.
+
+Distribution matches the reference's launch surface (the reference runs
+this trainer under ``torch.distributed.launch`` with NCCL + BmufTrainer,
+egs/train_las_rescorer_bmuf_otfaug.sh): ``--dp_mode sync`` shards the
+batch over the device mesh; the BMUF variants run ``--sync_period``
+independent local steps per device then a block update.  Multi-host via
+``--coordinator_address``.
 """
 
 from __future__ import annotations
 
 import argparse
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+import optax
 
 from pika_tpu.models.las import LASConfig, init_las
+from pika_tpu.models.transducer import Transducer
+from pika_tpu.parallel.bmuf import BMUFConfig, bmuf_init, make_bmuf_round
+from pika_tpu.parallel.mesh import (
+    data_sharding, make_mesh, replicate_tree, replicated,
+)
 from pika_tpu.train import common
 from pika_tpu.train.bundle import load_bundle, save_bundle
-from pika_tpu.train.las_step import make_las_train_step
-from pika_tpu.train.step import TrainState
+from pika_tpu.train.las_step import las_loss, make_las_train_step
+from pika_tpu.train.step import TrainState, batch_inputs
 from pika_tpu.data.loader import prefetch_iter
-from pika_tpu.train.train_transducer import batch_stream, to_device_batch
+from pika_tpu.train.train_transducer import (
+    _stack_batches, batch_stream, to_device_batch,
+)
 from pika_tpu.utils.logger import Logger
 
 
@@ -52,8 +70,13 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.num_devices = args.num_devices or 1
-    log_f = open(args.log.replace("WORKER-ID", "0"), "w")
+    proc_id, n_proc = common.maybe_distributed_init(args)
+    is_main = proc_id == 0  # noqa: F841 — kept for symmetry; saves are collective
+    if args.num_devices is None:
+        args.num_devices = jax.device_count() if n_proc > 1 else 1
+    mesh = make_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    log_f = open(args.log.replace("WORKER-ID", str(proc_id)), "w")
 
     args.spec_augment = getattr(args, "spec_augment", False)
     if args.loader == "utt":
@@ -62,7 +85,9 @@ def main(argv=None):
         featurizer, input_dim = common.feats_featurizer_from_args(args)
     else:
         featurizer, input_dim, _ = common.featurizer_from_args(args)
-    loader_cfg = common.loader_cfg_from_args(args)
+    loader_cfg = common.loader_cfg_from_args(
+        args, batch_size=args.batch_size * n_dev
+    )
 
     shared = shared_vars = None
     las_input_dim = input_dim
@@ -87,47 +112,150 @@ def main(argv=None):
         model, variables = init_las(jax.random.PRNGKey(args.seed), cfg)
     tx = common.optimizer_from_args(args)
 
-    step = make_las_train_step(
-        model, tx, featurizer, shared, shared_vars,
-        args.dec_loss_scale, args.enc_loss_scale, args.pretrain_decoder,
-    )
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32), params=variables["params"],
-        opt_state=tx.init(variables["params"]),
-    )
+    log_f.write(f"LAS training: devices {n_dev} ({args.dp_mode}), "
+                f"processes {n_proc}\n")
+    log_f.flush()
+
     key = jax.random.PRNGKey(args.seed)
     sampling_prob = args.sampling_prob
-    for epoch in range(args.num_epochs):
-        # scheduled-sampling ramp (train_las:185-190)
-        if args.sampling_decoder and epoch >= args.increase_sampling_prob_epoch:
-            sampling_prob = min(0.4, sampling_prob + 0.1)
-        log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
-        logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
-        pending = []
-        import time as _time
 
-        t_epoch = _time.perf_counter()
-        n_utts = 0
-        for dev_batch in prefetch_iter(batch_stream(args, loader_cfg, epoch),
-                                       transform=to_device_batch):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, dev_batch, sub,
-                                  jnp.asarray(sampling_prob, jnp.float32))
-            pending.append(metrics)
-            n_utts += loader_cfg.batch_size
-            if len(pending) >= 8:
-                for m in pending:
-                    logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
-                pending = []
-        for m in pending:
-            logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
-        logger.summarize_and_log()
-        dt = _time.perf_counter() - t_epoch
-        log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
-                    f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
-        save_bundle(f"{args.output_dir}/model.epoch.{epoch}", "las", cfg,
-                    {"params": jax.device_get(state.params)},
-                    metadata={"epoch": epoch, "reverse_labels": args.reverse_labels})
+    def save_epoch(epoch, params):
+        # every process calls: Orbax saves are collective (bundle.py)
+        save_bundle(
+            f"{args.output_dir}/model.epoch.{epoch}", "las", cfg,
+            {"params": jax.device_get(params)},
+            metadata={"epoch": epoch,
+                      "reverse_labels": args.reverse_labels})
+
+    if args.dp_mode == "sync":
+        raw_step = make_las_train_step(
+            model, tx, featurizer, shared, shared_vars,
+            args.dec_loss_scale, args.enc_loss_scale, args.pretrain_decoder,
+            jit=False,
+        )
+        rep, dsh = replicated(mesh), data_sharding(mesh)
+        step = jax.jit(
+            raw_step,
+            in_shardings=(rep, dsh, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+        )
+        state = replicate_tree(state, mesh)
+
+        for epoch in range(args.num_epochs):
+            # scheduled-sampling ramp (train_las:185-190)
+            if args.sampling_decoder and epoch >= args.increase_sampling_prob_epoch:
+                sampling_prob = min(0.4, sampling_prob + 0.1)
+            log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
+            logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
+            pending = []
+            t_epoch = time.perf_counter()
+            n_utts = 0
+            for dev_batch in prefetch_iter(
+                    batch_stream(args, loader_cfg, epoch),
+                    transform=lambda b: to_device_batch(b, dsh)):
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, dev_batch, common.host_key(sub),
+                                      np.float32(sampling_prob))
+                pending.append(metrics)
+                n_utts += loader_cfg.batch_size
+                if len(pending) >= 8:
+                    for m in pending:
+                        logger.update_and_log(int(m["num_labels"]),
+                                              [float(m["loss"])])
+                    pending = []
+            for m in pending:
+                logger.update_and_log(int(m["num_labels"]), [float(m["loss"])])
+            logger.summarize_and_log()
+            dt = time.perf_counter() - t_epoch
+            log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
+                        f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
+            save_epoch(epoch, state.params)
+    else:
+        # BMUF: the reference wraps this trainer in BmufTrainer too
+        # (train_las_bmuf_otfaug.py:521).  sampling_prob rides in the batch
+        # (per-utterance broadcast) so the round stays one compiled program
+        # across the sampling ramp.
+        def local_step(params, opt_state, extra, lbatch, lkey):
+            del extra
+            kf, kd = jax.random.split(lkey)
+            sp = lbatch["sampling_prob"][0]
+            lbatch = {k: v for k, v in lbatch.items() if k != "sampling_prob"}
+            x, x_lens = batch_inputs(lbatch)
+            feats, feat_lens = featurizer(kf, x, x_lens, True)
+            if shared is not None:
+                src = shared.apply(shared_vars, feats, feat_lens,
+                                   method=Transducer.encode)
+                src_lens = shared.apply(shared_vars, feat_lens,
+                                        method=Transducer.encoder_out_len)
+                src = jax.lax.stop_gradient(src)
+            else:
+                src, src_lens = feats, feat_lens
+
+            def loss_fn(p):
+                return las_loss(
+                    model, p, src, src_lens, lbatch["labels"],
+                    args.dec_loss_scale, args.enc_loss_scale,
+                    args.pretrain_decoder, sp, kd,
+                )
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["loss"] = loss
+            return params, opt_state, None, metrics
+
+        bcfg = BMUFConfig(
+            variant=args.dp_mode,
+            block_momentum=args.block_momentum, block_lr=args.block_lr,
+            sync_period=args.sync_period,
+        )
+        bstate = replicate_tree(bmuf_init(variables["params"], bcfg), mesh)
+        round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh)
+        bsh = data_sharding(mesh, leading_unsharded=1)
+        step_count = 0
+
+        for epoch in range(args.num_epochs):
+            if args.sampling_decoder and epoch >= args.increase_sampling_prob_epoch:
+                sampling_prob = min(0.4, sampling_prob + 0.1)
+            log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
+            logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
+            pend = []
+            t_epoch = time.perf_counter()
+            n_utts = 0
+            for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch)):
+                batch = dict(batch)
+                batch["sampling_prob"] = np.full(
+                    (loader_cfg.batch_size,), sampling_prob, np.float32)
+                pend.append(batch)
+                if len(pend) < args.sync_period:
+                    continue
+                stacked = {k: jax.device_put(v, bsh)
+                           for k, v in _stack_batches(pend).items()}
+                pend = []
+                key, sub = jax.random.split(key)
+                bstate, _, ok, metrics = round_fn(
+                    bstate, None, stacked, common.host_key(sub), step_count)
+                step_count += args.sync_period
+                n_utts += loader_cfg.batch_size * args.sync_period
+                if not bool(ok):
+                    log_f.write("NaN detected in BMUF sync — stopping\n")
+                    sys.exit(1)
+                logger.update_and_log(
+                    int(np.asarray(metrics["num_labels"]).sum()),
+                    [float(np.asarray(metrics["loss"]).sum())],
+                )
+            logger.summarize_and_log()
+            dt = time.perf_counter() - t_epoch
+            log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
+                        f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
+            save_epoch(epoch, bstate.params)
+
     log_f.write("Training Finished\n")
     log_f.close()
 

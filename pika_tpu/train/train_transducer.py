@@ -93,9 +93,23 @@ def feats_batch_stream(args, batch_size: int, epoch: int, shuffle=True):
         shuffle_buffer=args.buffer_size if shuffle else 0,
         seed=args.seed + 1000 * epoch,
     )
+    n_yielded = n_dropped = 0
     for b in feats_dataloader(args.data_lst, args.ali_rspec, cfg):
         if len(b["uttids"]) == batch_size:
+            n_yielded += 1
             yield b
+        else:
+            # SPMD sharding needs the batch axis divisible by the mesh —
+            # ragged tail batches are dropped, but never silently
+            n_dropped += len(b["uttids"])
+    if n_dropped:
+        print(f"feats_batch_stream: dropped {n_dropped} tail utterances "
+              f"(< batch_size {batch_size})", file=sys.stderr)
+    if n_yielded == 0:
+        raise RuntimeError(
+            f"feats_batch_stream: epoch produced 0 full batches "
+            f"(batch_size {batch_size}, {n_dropped} utterances dropped) — "
+            f"is the corpus smaller than the global batch?")
 
 
 def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
@@ -117,12 +131,24 @@ def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
         cfg_i = _dc.replace(loader_cfg, seed=loader_cfg.seed + 1000 * epoch + i)
         streams.append(dataloader(lst, cfg_i, noise=noise, rir=rir))
     expected = loader_cfg.batch_size
+    n_yielded = n_dropped = 0
     for batches in itertools.zip_longest(*streams):
         for b in batches:
             # drop ragged tail batches: SPMD sharding needs the batch axis
             # divisible by the mesh (the reference's full_batch semantics)
             if b is not None and len(b["uttids"]) == expected:
+                n_yielded += 1
                 yield b
+            elif b is not None:
+                n_dropped += len(b["uttids"])
+    if n_dropped:
+        print(f"batch_stream: dropped {n_dropped} tail utterances "
+              f"(< batch_size {expected})", file=sys.stderr)
+    if n_yielded == 0:
+        raise RuntimeError(
+            f"batch_stream: epoch produced 0 full batches (batch_size "
+            f"{expected}, {n_dropped} utterances dropped) — is the corpus "
+            f"smaller than the global batch?")
 
 
 def _wavs_i16(key, v):
@@ -135,25 +161,24 @@ def _wavs_i16(key, v):
     return v
 
 
-def to_device_batch(batch):
+def to_device_batch(batch, sharding=None):
+    """Ship a host batch.  With ``sharding`` (a batch-axis NamedSharding)
+    the put is mesh-aware — correct on one device and on a multi-host mesh
+    (each process puts only its addressable shards)."""
+    if sharding is not None:
+        return {k: jax.device_put(_wavs_i16(k, v), sharding)
+                for k, v in batch.items() if k != "uttids"}
     return {k: jnp.asarray(_wavs_i16(k, v))
             for k, v in batch.items() if k != "uttids"}
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.coordinator_address:
-        # multi-host SPMD (replaces torch.distributed.launch --nnodes,
-        # egs/train_transducer_mbr_bmuf_otfaug.sh:37): every host runs this
-        # same program; jax.distributed wires the pod/DCN topology.
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+    proc_id, n_proc = common.maybe_distributed_init(args)
+    is_main = proc_id == 0
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
-    log_f = open(args.log.replace("WORKER-ID", "0"), "w")
+    log_f = open(args.log.replace("WORKER-ID", str(proc_id)), "w")
 
     if args.loader == "utt":
         if not args.ali_rspec:
@@ -289,7 +314,7 @@ def main(argv=None):
             n_batches = 0
             for dev, n_real in stream:
                 key, sub = jax.random.split(key)
-                state, metrics = dp_step(state, dev, sub)
+                state, metrics = dp_step(state, dev, common.host_key(sub))
                 utt_box[0] += loader_cfg.batch_size * n_real
                 n_batches += n_real
                 pending.append((metrics, n_real))
@@ -297,6 +322,8 @@ def main(argv=None):
                     drain()
                 if args.save_every_n_batches and n_batches % args.save_every_n_batches < n_real:
                     drain()
+                    # every process calls: Orbax saves are collective
+                    # (primary writes, the rest barrier — bundle.py)
                     save_bundle(f"{args.output_dir}/model.tmp", "transducer", cfg,
                                 _variables_out(jax.device_get(state.params),
                                                jax.device_get(state.batch_stats)))
@@ -310,8 +337,10 @@ def main(argv=None):
             block_momentum=args.block_momentum, block_lr=args.block_lr,
             sync_period=args.sync_period,
         )
-        bstate = bmuf_init(state.params, bcfg)
+        bstate = replicate_tree(bmuf_init(state.params, bcfg), mesh)
         bn_stats = variables.get("batch_stats")
+        if bn_stats is not None:
+            bn_stats = replicate_tree(bn_stats, mesh)
 
         from pika_tpu.train.step import batch_inputs
 
@@ -364,10 +393,17 @@ def main(argv=None):
             key = jax.random.PRNGKey(args.seed + epoch)
             pending = []
             # stack the sync period on HOST and ship one transfer — feeding
-            # device arrays into np.stack would round-trip them D2H
+            # device arrays into np.stack would round-trip them D2H.
+            # device_put with an explicit (None, "data") sharding: correct
+            # on one process AND on a multi-host mesh (each process puts
+            # only its addressable shards of the global batch)
+            from pika_tpu.parallel.mesh import data_sharding
+
+            bsh = data_sharding(mesh, leading_unsharded=1)
+
             def stack_and_ship(batches):
                 stacked = _stack_batches(batches)
-                return {k: jnp.asarray(_wavs_i16(k, v))
+                return {k: jax.device_put(_wavs_i16(k, v), bsh)
                         for k, v in stacked.items()}
 
             for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch)):
@@ -377,7 +413,8 @@ def main(argv=None):
                     key, sub = jax.random.split(key)
                     nonlocal_stats = stats_box[0]
                     bstate_, new_stats, ok, metrics = round_fn(
-                        bstate_, nonlocal_stats, stacked, sub, step_box[0]
+                        bstate_, nonlocal_stats, stacked,
+                        common.host_key(sub), step_box[0]
                     )
                     stats_box[0] = new_stats
                     step_box[0] += args.sync_period
@@ -398,6 +435,12 @@ def main(argv=None):
     eval_step = make_eval_step(model, featurizer) if args.valid_data_lst else None
 
     def run_validation(params, batch_stats, epoch):
+        if n_proc > 1:
+            # the eval step is a plain local jit; global mesh arrays can't
+            # feed it — bounce the (replicated) params through host numpy
+            params = jax.device_get(params)
+            batch_stats = (jax.device_get(batch_stats)
+                           if batch_stats is not None else None)
         vstate = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                             opt_state=None, batch_stats=batch_stats)
         tot_loss = tot_labels = 0.0
@@ -426,6 +469,9 @@ def main(argv=None):
     saver_box = [None]
 
     def _spawn_saver(epoch, snap_state, snap_extra):
+        # every process spawns the saver: Orbax saves are collective
+        # (primary writes, the rest synchronize — see bundle.py); each
+        # process runs the identical save sequence so barrier keys align
         if saver_box[0] is not None:
             saver_box[0].join()
 
@@ -442,7 +488,10 @@ def main(argv=None):
                 save_checkpoint(
                     ckpt_dir, epoch,
                     {"bstate": host_b, "stats": stats_out,
-                     "steps": jnp.asarray(steps, jnp.int32)},
+                     # host numpy, NOT jnp: a fresh jnp scalar is a
+                     # process-local SingleDeviceSharding array, which
+                     # Orbax refuses to serialize in a multi-host run
+                     "steps": np.asarray(steps, np.int32)},
                     metadata={"epoch": epoch},
                 )
             save_bundle(

@@ -46,7 +46,8 @@ def main():
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg, max_t=80, max_u=8)
     bcfg = BeamConfig(beam_size=args.beam, n_best=args.n_best,
-                      sm_scale=1.2, max_symbols=args.max_symbols)
+                      sm_scale=1.2, max_symbols=args.max_symbols,
+                      mm_dtype="auto")
 
     rng = np.random.default_rng(0)
     wavs = jnp.asarray((rng.standard_normal((args.batch, max_samples)) * 4000).astype(np.float32))
