@@ -308,13 +308,14 @@ def joint_channels_pallas_bwd(
     if block_v == 0:
         # Mosaic's scoped-VMEM stack for these kernels grows slowly with
         # the total B*Tp extent and crosses the 16MB limit at block_v=512
-        # past B*Tp~4k (observed: B8/Tp768@512 and B24/Tp768@256 overflow
-        # by <1MB; B8/Tp768@256 and B24/Tp768@128 fit); shrink the V-tile
-        # for long utterances / big batches.  (block_t must stay a
-        # multiple of 128 and block_v's floor is 128 — they are minor
-        # dims of the channel/weight blocks.)
+        # past B*Tp~2k (observed: B16/Tp256@512 overflows by 832K,
+        # B8/Tp768@512 and B24/Tp768@256 overflow by <1MB; B8/Tp256@512,
+        # B8/Tp768@256 and B24/Tp768@128 fit); shrink the V-tile for long
+        # utterances / big batches.  (block_t must stay a multiple of 128
+        # and block_v's floor is 128 — they are minor dims of the
+        # channel/weight blocks.)
         btp = ax.shape[0] * _ceil_to(ax.shape[1], block_t)
-        block_v = 512 if btp <= 4096 else (256 if btp <= 8192 else 128)
+        block_v = 512 if btp <= 2048 else (256 if btp <= 8192 else 128)
     # VMEM budget note: the input-grad kernel's dh scratch plus the
     # double-buffered h/ax/gx/w2 inputs and dax/dgx output accumulators sit
     # close to the 16MB scoped-VMEM limit; see the scratch_shapes comment.
