@@ -1,0 +1,185 @@
+#!/bin/bash
+# Grammar-corpus quality recipe: makes the MBR / LAS-rescoring / FST-fusion
+# stages measurable (VERDICT r2 item 3).  Same acoustics as
+# egs/mini_synthetic.sh (formant tokens, unseen test speakers AND unseen
+# test noise at 12-22 dB SNR) but transcripts are drawn from a sparse
+# bigram grammar (6 successors per token out of 30, fixed grammar seed),
+# so a bigram LM estimated on the training transcripts carries ~2.3
+# bits/token — shallow fusion and rescoring have real signal to earn.
+#
+# Methodology:
+# - The corpus (train/test) and a separate DEV corpus (different corpus
+#   seed: different speakers/noise draws, same grammar) are generated
+#   once and shared by all training seeds.
+# - fst_lm_scale is tuned on DEV only; the table reports TEST WER.
+# - Run with SEED=1..3 to get the multi-seed spread; every stage's WER is
+#   appended to $work/RESULTS.seed$SEED.
+#
+# Usage:  SEED=1 bash egs/mini_grammar.sh [workdir]   (default /tmp/pika_grammar)
+# Full pipeline (MBR + LAS stages) is always on for this recipe.
+
+. $(dirname $0)/path.sh
+set -e
+
+work=${1:-/tmp/pika_grammar}
+SEED=${SEED:-1}
+data=$work/data
+dev=$work/dev
+exp=$work/exp_seed$SEED
+results=$work/RESULTS.seed$SEED
+mkdir -p $exp
+: > $results
+
+conf=$work/fbank.conf
+cat > $conf <<EOF
+--window-type=hamming
+--sample-frequency=16000
+--dither=1.0
+--low-freq=40
+--high-freq=-200
+--num-mel-bins=40
+EOF
+
+if [ ! -f $data/train/data.lst ]; then
+    echo "=== stage 0: synthesize grammar corpus (1500 train / 400 test; dev 200) ==="
+    python tools/make_hard_corpus.py $data --train 1500 --test 400 \
+        --grammar_branching 6
+    # dev: same grammar, DIFFERENT corpus seed => unseen speakers/noise,
+    # used only to tune fusion scales
+    python tools/make_hard_corpus.py $dev --train 1 --test 200 --seed 4047 \
+        --grammar_branching 6
+
+    echo "=== stage 1: wav.scp -> mrk/seq archives + data.lst ==="
+    python -m pika_tpu.data.prep wav_to_seq $data/train/wav.scp \
+        $data/train/train.mrk $data/train/train.seq > $data/train/shards.txt
+    awk -v lab="ark:$data/train/label.txt" '{print $1, $2, lab}' \
+        $data/train/shards.txt > $data/train/data.lst
+
+    echo "=== stage 2: global CMVN + bigram ARPA LM from training transcripts ==="
+    python -m pika_tpu.data.prep compute_global_cmvn $data/train/data.lst \
+        $data/train/global_cmvn.stats --feat_config $conf
+    python tools/train_ngram.py ark:$data/train/label.txt $data/char.txt \
+        $data/lm.arpa
+fi
+
+model_flags="--encoder_type transformer --enc_layers 9
+    --tdnn_nhid 256 --tdnn_layers 9
+    --decoder_type rnn --dec_layers 1 --rnn_size 256 --embd_dim 64
+    --dropout 0.1 --tdnn_transformer_dropout 0.1 --output_dim 31
+    --feats_dim 40 --lctx 1 --rctx 1 --stride 1 --num_workers 1
+    --speed_rate 0.96,1.0,1.04 --gain_range 55,10
+    --grad_clip 3.0 --momentum 0.9
+    --num_batches_per_epoch 94 --batch_size 16 --max_wav_seconds 4.0
+    --dp_mode sync --num_devices 1 --seed $SEED"
+
+echo "=== stage 3a: RNN-T warm-up, clean augmentation (20 epochs, seed $SEED) ==="
+python -m pika_tpu.train.train_transducer \
+    $data/train/data.lst $exp/train_warmup.log $exp \
+    --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
+    --optim adam --initial_lr 0.001 --final_lr 0.0008 \
+    --num_epochs 20 $model_flags
+
+echo "=== stage 3b: RNN-T training with noise SNR 10-30 dB (resume, to epoch 160) ==="
+python -m pika_tpu.train.train_transducer \
+    $data/train/data.lst $exp/train.log $exp \
+    --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
+    --optim adam --initial_lr 0.001 --final_lr 0.00005 \
+    --num_epochs 160 \
+    --noise_lst $data/noise.lst --snr_range 10,30 \
+    --resume $model_flags
+
+model=$exp/model.epoch.159
+decode_flags="--feat_config $conf --cmvn_stats $data/train/global_cmvn.stats
+    --beam_size 4 --n_best 4 --max_symbols 16
+    --feats_dim 40 --lctx 1 --rctx 1 --stride 1
+    --batch_size 16 --max_wav_seconds 4.0 --output_scores"
+
+wer_of () {  # wer_of TAG CMD... — run, grep the WER line, append to results
+    local tag=$1; shift
+    "$@" | tee $exp/decode_$tag.out | grep -E "%WER" | tail -1 \
+        | sed "s/^/$tag /" >> $results
+    tail -1 $results
+}
+
+echo "=== stage 4: TEST decode — baseline beam ==="
+wer_of base python -m pika_tpu.train.eval_transducer \
+    $model $data/test/wav.scp $exp/nbest_base.txt \
+    --ref_labels ark:$data/test/label.txt $decode_flags
+
+echo "=== stage 4b: tune fst_lm_scale on DEV, decode TEST with FST fusion ==="
+best_scale=""; best_wer=1e9
+for s in 0.2 0.4 0.6; do
+    w=$(python -m pika_tpu.train.eval_transducer \
+        $model $dev/test/wav.scp $exp/nbest_dev_fst$s.txt \
+        --ref_labels ark:$dev/test/label.txt \
+        --fst_lm $data/lm.arpa --fst_lm_scale $s --symbols_map $data/char.txt \
+        $decode_flags | grep -oE "%WER [0-9.]+" | awk '{print $2}' | tail -1)
+    echo "dev fst_lm_scale $s -> WER $w" | tee -a $results
+    better=$(python -c "print(1 if $w < $best_wer else 0)")
+    if [ "$better" = 1 ]; then best_wer=$w; best_scale=$s; fi
+done
+echo "chosen fst_lm_scale $best_scale (dev WER $best_wer)" | tee -a $results
+wer_of base_fst python -m pika_tpu.train.eval_transducer \
+    $model $data/test/wav.scp $exp/nbest_fst.txt \
+    --ref_labels ark:$data/test/label.txt \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+    --symbols_map $data/char.txt $decode_flags
+
+aug_flags="--feats_dim 40 --lctx 1 --rctx 1 --stride 1
+    --speed_rate 0.96,1.0,1.04 --gain_range 55,10
+    --noise_lst $data/noise.lst --snr_range 10,30 --max_wav_seconds 4.0"
+
+echo "=== stage 5: MBR fine-tuning (seed $SEED) ==="
+mkdir -p $exp/mbr
+python -m pika_tpu.train.train_mbr \
+    $data/train/data.lst $exp/mbr/train.log $exp/mbr \
+    --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
+    --init_model $model \
+    --initial_lr 2e-5 --final_lr 5e-6 --grad_clip 3.0 --momentum 0.9 \
+    --num_epochs 2 --num_batches_per_epoch 94 --batch_size 16 \
+    --output_dim 31 --beam_size 4 --sm_scale 1.2 --rnnt_scale 0.02 \
+    --seed $SEED $aug_flags
+mbr_model=$exp/mbr/model.epoch.1
+
+echo "=== stage 5b: TEST decode — MBR model ==="
+wer_of mbr python -m pika_tpu.train.eval_transducer \
+    $mbr_model $data/test/wav.scp $exp/nbest_mbr.txt \
+    --ref_labels ark:$data/test/label.txt $decode_flags
+
+echo "=== stage 6: LAS forward + backward rescorer training (seed $SEED) ==="
+for d in fw bw; do
+    rev=""; [ $d = bw ] && rev="--reverse_labels"
+    mkdir -p $exp/las_$d
+    python -m pika_tpu.train.train_las \
+        $data/train/data.lst $exp/las_$d/train.log $exp/las_$d \
+        --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
+        --shared_encoder_model $model \
+        --SOS 0 --EOS 31 --padding_tgt 32 --padding_idx 32 --output_dim 32 \
+        --enc_layers 1 --dec_layers 1 --rnn_size 128 --embd_dim 32 \
+        --global_attention mlp \
+        --optim adam --initial_lr 3e-4 --final_lr 5e-5 \
+        --num_epochs 8 --num_batches_per_epoch 94 --batch_size 16 \
+        --sampling_decoder --sampling_prob 0.1 --increase_sampling_prob_epoch 4 \
+        --seed $SEED $rev $aug_flags
+done
+
+echo "=== stage 7: TEST decode — MBR + LAS fw/bw rescoring ==="
+wer_of mbr_las python -m pika_tpu.train.eval_transducer \
+    $mbr_model $data/test/wav.scp $exp/nbest_mbr_las.txt \
+    --ref_labels ark:$data/test/label.txt \
+    --las_rescorer_model $exp/las_fw/model.epoch.7 \
+    --las_rescorer_bw_model $exp/las_bw/model.epoch.7 \
+    --SOS 0 --EOS 31 $decode_flags
+
+echo "=== stage 8: TEST decode — full stack (MBR + LAS + FST fusion) ==="
+wer_of mbr_las_fst python -m pika_tpu.train.eval_transducer \
+    $mbr_model $data/test/wav.scp $exp/nbest_full.txt \
+    --ref_labels ark:$data/test/label.txt \
+    --las_rescorer_model $exp/las_fw/model.epoch.7 \
+    --las_rescorer_bw_model $exp/las_bw/model.epoch.7 \
+    --SOS 0 --EOS 31 \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+    --symbols_map $data/char.txt $decode_flags
+
+echo "=== RESULTS (seed $SEED) ==="
+cat $results

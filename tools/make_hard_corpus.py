@@ -119,8 +119,39 @@ def mix_at_snr(sig_i16, noise_i16, snr_db, rng):
     return seg.from_float32(out, "int16")
 
 
+def make_grammar(branching: int, seed: int = 7):
+    """A sparse bigram grammar: from each token (and from start) only
+    ``branching`` of the 30 tokens may follow, with random (Dirichlet)
+    transition probabilities.  This gives transcripts real language-model
+    signal — an n-gram LM estimated on the training transcripts carries
+    ~log2(30/branching) bits/token — so FST shallow fusion and rescoring
+    stages have something to earn (VERDICT r2 item 3: with uniform-random
+    transcripts every LM is flat and rescoring deltas are pure noise).
+    The grammar seed is FIXED (independent of the corpus seed): train and
+    test draw from the same language."""
+    g = np.random.default_rng(seed)
+    succ = np.zeros((VOCAB + 1, branching), np.int64)   # row 0 = start
+    prob = np.zeros((VOCAB + 1, branching))
+    for ctx in range(VOCAB + 1):
+        succ[ctx] = g.choice(np.arange(1, VOCAB + 1), size=branching,
+                             replace=False)
+        prob[ctx] = g.dirichlet(np.full(branching, 1.0))
+    return succ, prob
+
+
+def sample_grammar_toks(grammar, n_toks, rng):
+    succ, prob = grammar
+    toks, ctx = [], 0
+    for _ in range(n_toks):
+        k = rng.choice(succ.shape[1], p=prob[ctx])
+        tok = int(succ[ctx, k])
+        toks.append(tok)
+        ctx = tok
+    return np.array(toks, np.int64)
+
+
 def write_split(outdir, name, n_utts, rng, noise_clips=None,
-                snr_range=(12.0, 22.0), clean_copy=None):
+                snr_range=(12.0, 22.0), clean_copy=None, grammar=None):
     """Write a split; with ``clean_copy``, also write the same utterances
     WITHOUT noise under that name (clean-vs-noisy WER on identical
     content isolates the noise-robustness gap)."""
@@ -136,7 +167,11 @@ def write_split(outdir, name, n_utts, rng, noise_clips=None,
     labels = []
     with open(os.path.join(d, "wav.scp"), "w") as scp:
         for i in range(n_utts):
-            toks = rng.integers(1, VOCAB + 1, int(rng.integers(4, 11)))
+            n_toks = int(rng.integers(4, 11))
+            if grammar is not None:
+                toks = sample_grammar_toks(grammar, n_toks, rng)
+            else:
+                toks = rng.integers(1, VOCAB + 1, n_toks)
             pcm = synth_utt(toks, rng)
             uttid = f"{name}{i:05d}"
             if dc is not None:
@@ -168,8 +203,16 @@ def main():
                          "is in-band formant bursts — spectrally inside the "
                          "token class — so SNRs below ~10 dB bury the "
                          "formant identity that IS the label")
+    ap.add_argument("--grammar_branching", type=int, default=0,
+                    help="if >0, draw transcripts from a sparse bigram "
+                         "grammar with this many successors per token "
+                         "(fixed grammar seed, shared by train and test) "
+                         "instead of uniform-random tokens; gives LM/"
+                         "rescoring stages real signal")
     args = ap.parse_args()
     snr_lo, snr_hi = (float(v) for v in args.test_snr.split(","))
+    grammar = (make_grammar(args.grammar_branching)
+               if args.grammar_branching else None)
 
     from pika_tpu.data import MrkSeqWriter
 
@@ -190,9 +233,10 @@ def main():
     # test noise: DIFFERENT realizations, baked into the test wavs
     test_noise = [synth_noise(8.0, rng) for _ in range(8)]
 
-    write_split(args.outdir, "train", args.train, rng)
+    write_split(args.outdir, "train", args.train, rng, grammar=grammar)
     write_split(args.outdir, "test", args.test, rng, noise_clips=test_noise,
-                snr_range=(snr_lo, snr_hi), clean_copy="test_clean")
+                snr_range=(snr_lo, snr_hi), clean_copy="test_clean",
+                grammar=grammar)
 
     with open(os.path.join(args.outdir, "char.txt"), "w") as f:
         f.write("<blk> 0\n")
