@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--n_best", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--max_symbols", type=int, default=64)
+    ap.add_argument("--attribution", action="store_true",
+                    help="also time the featurizer+encoder alone; the "
+                         "difference attributes decode time between the "
+                         "batch-scaling encoder forward and the "
+                         "latency-bound beam while_loop")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +77,27 @@ def main():
     rtf = dt / (args.batch * args.seconds)
     print(f"beam={args.beam} batch={args.batch}: {dt*1000:.1f} ms/batch, "
           f"{utts:.2f} utt/s, RTF {rtf:.5f}")
+
+    if args.attribution:
+        from pika_tpu.models.transducer import Transducer
+
+        @jax.jit
+        def run_enc(vs, w):
+            def body(carry, _):
+                feats, feat_lens = featurizer(None, carry, lens, False)
+                enc = model.apply(vs, feats, feat_lens, method=Transducer.encode)
+                s = enc.sum()
+                return carry + s * 1e-20, s
+            _, outs = jax.lax.scan(body, w, None, length=args.reps)
+            return outs.sum()
+
+        float(run_enc(variables, wavs))
+        t0 = time.perf_counter()
+        float(run_enc(variables, wavs))
+        dt_enc = (time.perf_counter() - t0) / args.reps
+        print(f"  attribution: featurizer+encoder {dt_enc*1000:.1f} ms "
+              f"({dt_enc/dt*100:.0f}%), beam while_loop+joint "
+              f"{(dt-dt_enc)*1000:.1f} ms ({(dt-dt_enc)/dt*100:.0f}%)")
 
 
 if __name__ == "__main__":

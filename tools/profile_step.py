@@ -1,0 +1,176 @@
+"""Attribute flagship train-step time to components on the real chip.
+
+The batch sweep (bench.py BENCH_BATCH) saturates at ~62 TF/s analytic
+while tools/bench_matmul.py shows the chip sustaining ~140 TF/s at the
+joint-vocab shape and ~52 TF/s at the encoder shapes — so the step's
+ceiling is a FLOP-weighted mix plus non-matmul overhead.  This tool
+times each stage as its own dependency-chained scan:
+
+  featurizer        wav -> fbank -> splice -> CMVN -> SpecAugment
+  encoder fwd       TDNN-Transformer forward
+  encoder fwd+bwd   + VJP wrt params (the training cost of the encoder)
+  loss fwd+bwd      joint factors -> fused RNN-T loss -> grads (Pallas)
+  full step         everything + prediction net + optimizer update
+
+Stages overlap (the full step can fuse across boundaries), so components
+need not sum exactly to the step; large residuals ARE the finding.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_step.py [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+SR = 16000
+SECONDS = 10.0
+VOCAB = 6268
+U = 40
+
+
+def chain_time(jax, jnp, fn, args, n_steps=10, reps=2):
+    """Time fn(*args) -> (new_first_arg_like, scalar) in a dependency chain."""
+    def run(*a):
+        def body(carry, _):
+            out, s = fn(carry, *a[1:])
+            return out, s
+        out, ss = jax.lax.scan(body, a[0], None, length=n_steps)
+        return ss[-1]
+
+    run_j = jax.jit(run)
+    float(run_j(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_j(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times) / n_steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+    B = args.batch
+
+    import jax
+    import jax.numpy as jnp
+
+    from pika_tpu.features import FbankConfig
+    from pika_tpu.models import TransducerConfig, init_transducer
+    from pika_tpu.models.transducer import Transducer
+    from pika_tpu.ops.rnnt_loss import rnnt_loss_fused
+    from pika_tpu.train import (
+        FeaturizerConfig, TrainState, make_featurizer, make_optimizer,
+        make_train_step,
+    )
+
+    max_samples = int(SR * SECONDS)
+    featurizer = make_featurizer(FeaturizerConfig(
+        fbank=FbankConfig(sample_frequency=SR, window_type="hamming",
+                          dither=1.0, low_freq=40.0, high_freq=-200.0,
+                          num_mel_bins=80),
+        max_samples=max_samples, lctx=1, rctx=1, stride=1, spec_augment=True,
+    ))
+    cfg = TransducerConfig(
+        input_dim=240, vocab_size=VOCAB, hid_dim=1024,
+        encoder_type="tdnn_transformer", decoder_type="rnn",
+        enc_layers=9, dec_layers=2, embd_dim=100,
+        tdnn_nhid=1024, tdnn_layers=9,
+    )
+    model, variables = init_transducer(jax.random.PRNGKey(0), cfg,
+                                       max_t=80, max_u=8)
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray((rng.standard_normal((B, max_samples)) * 4000).astype(np.float32))
+    wlens = jnp.asarray(np.full(B, max_samples, np.int32))
+    labels = jnp.asarray(rng.integers(1, VOCAB, (B, U)).astype(np.int32))
+    ulens = jnp.asarray(np.full(B, U, np.int32))
+    key = jax.random.PRNGKey(1)
+
+    rows = []
+
+    # 1. featurizer
+    def feat_fn(w, k):
+        f, fl = featurizer(k, w, wlens, True)
+        return w + f.sum() * 1e-20, f.sum()
+    rows.append(("featurizer (fbank+splice+CMVN+SpecAug)",
+                 chain_time(jax, jnp, feat_fn, (wavs, key))))
+
+    # 2. encoder fwd
+    feats, feat_lens = featurizer(None, wavs, wlens, False)
+    feats = jax.block_until_ready(feats)
+
+    def enc_fn(f, _k):
+        enc = model.apply(variables, f, feat_lens, method=Transducer.encode,
+                          rngs={"dropout": _k}, mutable=False, train=False)
+        return f + enc.sum() * 1e-20, enc.sum()
+    rows.append(("encoder fwd", chain_time(jax, jnp, enc_fn, (feats, key))))
+
+    # 3. encoder fwd+bwd (grad wrt params of a scalar of encoder output)
+    params = variables["params"]
+
+    def encg_fn(f, p):
+        def loss(p_):
+            vs = {**variables, "params": p_}
+            enc = model.apply(vs, f, feat_lens, method=Transducer.encode,
+                              train=False)
+            return enc.sum()
+        g = jax.grad(loss)(p)
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return f + gsum * 1e-20, gsum
+    rows.append(("encoder fwd+bwd",
+                 chain_time(jax, jnp, encg_fn, (feats, params))))
+
+    # 4. loss fwd+bwd at the step's joint shapes (T'=250)
+    tp = 250
+    ax = jnp.asarray(rng.standard_normal((B, tp, 1024)).astype(np.float32))
+    gx = jnp.asarray(rng.standard_normal((B, tp, 1024)).astype(np.float32))
+    ay = jnp.asarray(rng.standard_normal((B, U + 1, 1024)).astype(np.float32))
+    gy = jnp.asarray(rng.standard_normal((B, U + 1, 1024)).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((1024, VOCAB)) / 32).astype(np.float32))
+    b2 = jnp.zeros((VOCAB,), jnp.float32)
+    tlens = jnp.asarray(np.full(B, tp, np.int32))
+
+    def loss_fn(ax_, rest):
+        gx_, ay_, gy_, w2_, b2_ = rest
+
+        def f(a):
+            return jnp.sum(rnnt_loss_fused(a, gx_, ay_, gy_, w2_, b2_,
+                                           labels, tlens, ulens, 16, "pallas"))
+        l, g = jax.value_and_grad(f)(ax_)
+        return ax_ + g * 1e-20, l
+    rows.append(("fused RNN-T loss fwd+bwd (pallas, d_ax only)",
+                 chain_time(jax, jnp, loss_fn, (ax, (gx, ay, gy, w2, b2)))))
+
+    # 5. full train step
+    tx = make_optimizer("sgd", initial_lr=0.003, final_lr=0.0001,
+                        total_batches=100000, momentum=0.9, grad_clip=3.0)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=tx.init(variables["params"]),
+                       batch_stats=variables.get("batch_stats"))
+    step_fn = make_train_step(model, tx, featurizer, loss_chunk=16,
+                              jit=False)
+    batch = {"wavs": wavs, "wav_lens": wlens, "labels": labels,
+             "label_lens": ulens}
+
+    def step_wrap(st, b, k):
+        st2, m = step_fn(st, b, k)
+        return st2, m["loss"]
+    rows.append(("FULL train step",
+                 chain_time(jax, jnp, step_wrap, (state, batch, key))))
+
+    full = rows[-1][1]
+    print(f"\nbatch {B}, 10s utts, flagship config:")
+    for name, t in rows:
+        print(f"  {name:45s} {t * 1000:8.1f} ms  ({t / full * 100:5.1f}% of step)")
+    known = rows[0][1] + rows[2][1] + rows[3][1]
+    print(f"  {'featurizer + enc fwd+bwd + loss':45s} {known * 1000:8.1f} ms  "
+          f"({known / full * 100:5.1f}%) — residual = pred net, joint "
+          f"factor matmuls+bwd, optimizer, clip")
+
+
+if __name__ == "__main__":
+    main()
