@@ -42,12 +42,17 @@ EOF
 
 if [ ! -f $data/train/data.lst ]; then
     echo "=== stage 0: synthesize grammar corpus (1500 train / 400 test; dev 200) ==="
+    # test SNR 5-15 dB — harder than the training augmentation range
+    # (10-30): the baseline must make enough errors (~8-15% WER) for the
+    # LM/rescoring stages to have correction headroom; at the
+    # mini_synthetic 12-22 dB setting this grammar corpus decodes at
+    # 2.6% WER and every stage delta drowns in quantization
     python tools/make_hard_corpus.py $data --train 1500 --test 400 \
-        --grammar_branching 6
+        --grammar_branching 6 --test_snr 5,15
     # dev: same grammar, DIFFERENT corpus seed => unseen speakers/noise,
     # used only to tune fusion scales
     python tools/make_hard_corpus.py $dev --train 1 --test 200 --seed 4047 \
-        --grammar_branching 6
+        --grammar_branching 6 --test_snr 5,15
 
     echo "=== stage 1: wav.scp -> mrk/seq archives + data.lst ==="
     python -m pika_tpu.data.prep wav_to_seq $data/train/wav.scp \
@@ -73,14 +78,14 @@ model_flags="--encoder_type transformer --enc_layers 9
     --dp_mode sync --num_devices 1 --seed $SEED"
 
 echo "=== stage 3a: RNN-T warm-up, clean augmentation (20 epochs, seed $SEED) ==="
-python -m pika_tpu.train.train_transducer \
+[ -d $exp/model.epoch.19 ] || python -m pika_tpu.train.train_transducer \
     $data/train/data.lst $exp/train_warmup.log $exp \
     --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
     --optim adam --initial_lr 0.001 --final_lr 0.0008 \
     --num_epochs 20 $model_flags
 
 echo "=== stage 3b: RNN-T training with noise SNR 10-30 dB (resume, to epoch 160) ==="
-python -m pika_tpu.train.train_transducer \
+[ -d $exp/model.epoch.159 ] || python -m pika_tpu.train.train_transducer \
     $data/train/data.lst $exp/train.log $exp \
     --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
     --optim adam --initial_lr 0.001 --final_lr 0.00005 \
@@ -96,7 +101,7 @@ decode_flags="--feat_config $conf --cmvn_stats $data/train/global_cmvn.stats
 
 wer_of () {  # wer_of TAG CMD... — run, grep the WER line, append to results
     local tag=$1; shift
-    "$@" | tee $exp/decode_$tag.out | grep -E "%WER" | tail -1 \
+    "$@" 2>&1 | tee $exp/decode_$tag.out | grep -E "%WER" | tail -1 \
         | sed "s/^/$tag /" >> $results
     tail -1 $results
 }
@@ -113,7 +118,7 @@ for s in 0.2 0.4 0.6; do
         $model $dev/test/wav.scp $exp/nbest_dev_fst$s.txt \
         --ref_labels ark:$dev/test/label.txt \
         --fst_lm $data/lm.arpa --fst_lm_scale $s --symbols_map $data/char.txt \
-        $decode_flags | grep -oE "%WER [0-9.]+" | awk '{print $2}' | tail -1)
+        $decode_flags 2>&1 | grep -oE "%WER [0-9.]+" | awk '{print $2}' | tail -1)
     echo "dev fst_lm_scale $s -> WER $w" | tee -a $results
     better=$(python -c "print(1 if $w < $best_wer else 0)")
     if [ "$better" = 1 ]; then best_wer=$w; best_scale=$s; fi
@@ -131,7 +136,7 @@ aug_flags="--feats_dim 40 --lctx 1 --rctx 1 --stride 1
 
 echo "=== stage 5: MBR fine-tuning (seed $SEED) ==="
 mkdir -p $exp/mbr
-python -m pika_tpu.train.train_mbr \
+[ -d $exp/mbr/model.epoch.1 ] || python -m pika_tpu.train.train_mbr \
     $data/train/data.lst $exp/mbr/train.log $exp/mbr \
     --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
     --init_model $model \
@@ -150,7 +155,7 @@ echo "=== stage 6: LAS forward + backward rescorer training (seed $SEED) ==="
 for d in fw bw; do
     rev=""; [ $d = bw ] && rev="--reverse_labels"
     mkdir -p $exp/las_$d
-    python -m pika_tpu.train.train_las \
+    [ -d $exp/las_$d/model.epoch.7 ] || python -m pika_tpu.train.train_las \
         $data/train/data.lst $exp/las_$d/train.log $exp/las_$d \
         --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
         --shared_encoder_model $model \

@@ -61,6 +61,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from pika_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if not args.init_model:
         raise SystemExit("MBR training requires --init_model (an RNN-T bundle)")
     proc_id, n_proc = common.maybe_distributed_init(args)
