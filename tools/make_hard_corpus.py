@@ -209,10 +209,22 @@ def main():
                          "(fixed grammar seed, shared by train and test) "
                          "instead of uniform-random tokens; gives LM/"
                          "rescoring stages real signal")
+    ap.add_argument("--grammar_split", choices=["all", "test"], default="all",
+                    help="'test': only test/dev transcripts follow the "
+                         "grammar; TRAIN stays uniform so the model's "
+                         "internal LM cannot learn the structure — the "
+                         "realistic AM-on-broad-data / LM-on-domain-text "
+                         "split where external fusion must carry the "
+                         "signal")
+    ap.add_argument("--grammar_text", type=int, default=0,
+                    help="write N grammar-sampled TEXT-ONLY transcripts "
+                         "(no audio) to grammar_text.txt in label.txt "
+                         "format, for LM estimation")
     args = ap.parse_args()
     snr_lo, snr_hi = (float(v) for v in args.test_snr.split(","))
     grammar = (make_grammar(args.grammar_branching)
                if args.grammar_branching else None)
+    train_grammar = grammar if args.grammar_split == "all" else None
 
     from pika_tpu.data import MrkSeqWriter
 
@@ -233,10 +245,21 @@ def main():
     # test noise: DIFFERENT realizations, baked into the test wavs
     test_noise = [synth_noise(8.0, rng) for _ in range(8)]
 
-    write_split(args.outdir, "train", args.train, rng, grammar=grammar)
+    write_split(args.outdir, "train", args.train, rng, grammar=train_grammar)
     write_split(args.outdir, "test", args.test, rng, noise_clips=test_noise,
                 snr_range=(snr_lo, snr_hi), clean_copy="test_clean",
                 grammar=grammar)
+
+    if args.grammar_text:
+        assert grammar is not None, "--grammar_text needs --grammar_branching"
+        from pika_tpu.data import write_int_vectors
+
+        text = []
+        for i in range(args.grammar_text):
+            n_toks = int(rng.integers(4, 11))
+            text.append((f"text{i:06d}",
+                         [int(t) for t in sample_grammar_toks(grammar, n_toks, rng)]))
+        write_int_vectors(os.path.join(args.outdir, "grammar_text.txt"), text)
 
     with open(os.path.join(args.outdir, "char.txt"), "w") as f:
         f.write("<blk> 0\n")
