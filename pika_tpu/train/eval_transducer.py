@@ -257,6 +257,7 @@ def main(argv=None):
                     out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
                     eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
                 )
+                fw_scores, fw_tok = np.asarray(fw_scores), np.asarray(fw_tok)
             if las_bw is not None:
                 m, v, _ = las_bw
                 bw_scores, bw_tok = las_score_hyps(
@@ -265,28 +266,40 @@ def main(argv=None):
                     eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
                     reverse=True,
                 )
+                bw_scores, bw_tok = np.asarray(bw_scores), np.asarray(bw_tok)
+
+            # ONE bulk fetch of the small outputs per batch (after the LAS
+            # programs are dispatched, so scoring overlaps the transfer).
+            # The per-utt loops below index these thousands of times;
+            # indexing a device array is a separate D2H round trip EACH
+            # time, and this transport has ~32 ms fixed latency per
+            # transfer — per-element fetches turned a ~1 s decode batch
+            # into ~25 s (measured).  enc_out/enc_lens stay on device:
+            # only las_score_hyps uses them, device-side.
+            host = {k: np.asarray(out[k]) for k in ("tokens", "lens", "scores")}
 
             best_idx, _ = rerank_nbest(
-                out["scores"], out["lens"], fw_scores, bw_scores,
+                host["scores"], host["lens"], fw_scores, bw_scores,
                 args.rnnt_score_scale, args.las_fw_score_scale, args.las_bw_score_scale,
             )
+            best_idx = np.asarray(best_idx)
 
             for i, uttid in enumerate(chunk):
                 for j in range(args.n_best):
-                    length = int(out["lens"][i, j])
-                    toks = [int(t) for t in np.asarray(out["tokens"][i, j, :length])]
+                    length = int(host["lens"][i, j])
+                    toks = [int(t) for t in host["tokens"][i, j, :length]]
                     text = "".join(sym_map.get(t, f"<{t}>") for t in toks) if sym_map else " ".join(map(str, toks))
                     out_f.write(text)
                     if args.output_scores:
-                        out_f.write(f" {float(out['scores'][i, j])}")
+                        out_f.write(f" {float(host['scores'][i, j])}")
                         if fw_tok is not None:
-                            out_f.write(" " + " ".join(str(float(s)) for s in np.asarray(fw_tok[i, j, : length + 1])))
+                            out_f.write(" " + " ".join(str(float(s)) for s in fw_tok[i, j, : length + 1]))
                         if bw_tok is not None:
-                            out_f.write(" " + " ".join(str(float(s)) for s in np.asarray(bw_tok[i, j, : length + 1])))
+                            out_f.write(" " + " ".join(str(float(s)) for s in bw_tok[i, j, : length + 1]))
                     out_f.write("\n")
                 bj = int(best_idx[i])
-                length = int(out["lens"][i, bj])
-                hyp_best[uttid] = [str(int(t)) for t in np.asarray(out["tokens"][i, bj, :length])]
+                length = int(host["lens"][i, bj])
+                hyp_best[uttid] = [str(int(t)) for t in host["tokens"][i, bj, :length]]
 
     elapsed = time.perf_counter() - t_start
     rtf = elapsed / max(total_audio, 1e-9)
