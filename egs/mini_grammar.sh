@@ -110,8 +110,10 @@ decode_flags="--feat_config $conf --cmvn_stats $data/train/global_cmvn.stats
     --batch_size 16 --max_wav_seconds 4.0 --output_scores"
 
 wer_of () {  # wer_of TAG CMD... — run, grep the WER line, append to results
+    # per-decode bound: the tunnel transport has rare multi-minute hang
+    # episodes; a wedged decode must not eat the whole run
     local tag=$1; shift
-    "$@" 2>&1 | tee $exp/decode_$tag.out | grep -E "%WER" | tail -1 \
+    timeout 1500 "$@" 2>&1 | tee $exp/decode_$tag.out | grep -E "%WER" | tail -1 \
         | sed "s/^/$tag /" >> $results
     tail -1 $results
 }
@@ -126,8 +128,8 @@ wer_of dev_base python -m pika_tpu.train.eval_transducer \
     $model $dev/test/wav.scp $exp/nbest_dev_base.txt \
     --ref_labels ark:$dev/test/label.txt $decode_flags
 best_scale=""; best_wer=1e9
-for s in 0.2 0.4 0.8; do
-    w=$(python -m pika_tpu.train.eval_transducer \
+for s in 0.2 0.4 0.8 1.2; do
+    w=$(timeout 1500 python -m pika_tpu.train.eval_transducer \
         $model $dev/test/wav.scp $exp/nbest_dev_fst$s.txt \
         --ref_labels ark:$dev/test/label.txt \
         --fst_lm $data/lm.arpa --fst_lm_scale $s --symbols_map $data/char.txt \
