@@ -111,10 +111,14 @@ decode_flags="--feat_config $conf --cmvn_stats $data/train/global_cmvn.stats
 
 wer_of () {  # wer_of TAG CMD... — run, grep the WER line, append to results
     # per-decode bound: the tunnel transport has rare multi-minute hang
-    # episodes; a wedged decode must not eat the whole run
+    # episodes; a wedged decode must not eat the whole run.  A completed
+    # decode (its .out has a %WER line) is reused on restart, so a
+    # killed/rerun recipe only pays for the decodes it never finished.
     local tag=$1; shift
-    timeout 1500 "$@" 2>&1 | tee $exp/decode_$tag.out | grep -E "%WER" | tail -1 \
-        | sed "s/^/$tag /" >> $results
+    if ! grep -qE "%WER" $exp/decode_$tag.out 2>/dev/null; then
+        timeout 1500 "$@" > $exp/decode_$tag.out 2>&1 || true
+    fi
+    grep -E "%WER" $exp/decode_$tag.out | tail -1 | sed "s/^/$tag /" >> $results
     tail -1 $results
 }
 
@@ -129,11 +133,15 @@ wer_of dev_base python -m pika_tpu.train.eval_transducer \
     --ref_labels ark:$dev/test/label.txt $decode_flags
 best_scale=""; best_wer=1e9
 for s in 0.2 0.4 0.8 1.2; do
-    w=$(timeout 1500 python -m pika_tpu.train.eval_transducer \
-        $model $dev/test/wav.scp $exp/nbest_dev_fst$s.txt \
-        --ref_labels ark:$dev/test/label.txt \
-        --fst_lm $data/lm.arpa --fst_lm_scale $s --symbols_map $data/char.txt \
-        $decode_flags 2>&1 | grep -oE "%WER [0-9.]+" | awk '{print $2}' | tail -1)
+    if ! grep -qE "%WER" $exp/decode_devfst$s.out 2>/dev/null; then
+        timeout 1500 python -m pika_tpu.train.eval_transducer \
+            $model $dev/test/wav.scp $exp/nbest_dev_fst$s.txt \
+            --ref_labels ark:$dev/test/label.txt \
+            --fst_lm $data/lm.arpa --fst_lm_scale $s \
+            --symbols_map $data/char.txt \
+            $decode_flags > $exp/decode_devfst$s.out 2>&1 || true
+    fi
+    w=$(grep -oE "%WER [0-9.]+" $exp/decode_devfst$s.out | awk '{print $2}' | tail -1)
     echo "dev fst_lm_scale $s -> WER $w" | tee -a $results
     better=$(python -c "print(1 if $w < $best_wer else 0)")
     if [ "$better" = 1 ]; then best_wer=$w; best_scale=$s; fi
