@@ -85,6 +85,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from pika_tpu.utils.cache import enable_compilation_cache
+    from pika_tpu.utils.platform import honor_platforms_env
+
+    honor_platforms_env()
     enable_compilation_cache()
     model, variables, _ = load_bundle(args.model)
     if args.attn_chunk >= 0 and getattr(model.config, "attn_chunk", None) is not None:

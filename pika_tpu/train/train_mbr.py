@@ -62,6 +62,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from pika_tpu.utils.cache import enable_compilation_cache
+    from pika_tpu.utils.platform import honor_platforms_env
+
+    honor_platforms_env()
     enable_compilation_cache()
     if not args.init_model:
         raise SystemExit("MBR training requires --init_model (an RNN-T bundle)")

@@ -175,6 +175,9 @@ def to_device_batch(batch, sharding=None):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from pika_tpu.utils.cache import enable_compilation_cache
+    from pika_tpu.utils.platform import honor_platforms_env
+
+    honor_platforms_env()
     enable_compilation_cache()
     proc_id, n_proc = common.maybe_distributed_init(args)
     is_main = proc_id == 0
