@@ -213,3 +213,34 @@ def test_augment_noise_prob(rng):
     # at prob=0.5 both outcomes occur across seeds
     outcomes = {np.array_equal(run(0.5, s), run(0.0, s)) for s in range(12)}
     assert outcomes == {True, False}
+
+
+def test_resample_spec():
+    """Behavioral spec for resample (PARITY.md: polyphase replaces resampy
+    — not numerically equal, so pin the *semantics* implementation-
+    independently): in-band tones survive with amplitude and frequency
+    intact; out-of-band energy is rejected after downsampling."""
+    sr, dur = 16000, 1.0
+    t = np.arange(int(sr * dur)) / sr
+    # 440 Hz in-band everywhere; 7 kHz above the 8 kHz target's 4 kHz Nyquist
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.25 * np.sin(2 * np.pi * 7000 * t)).astype(np.float32)
+
+    y = seg.resample(x, sr, 8000)
+    assert y.dtype == np.float32 and abs(len(y) - 8000) <= 1
+
+    spec = np.abs(np.fft.rfft(y[: 8000]))
+    freqs = np.fft.rfftfreq(8000, d=1 / 8000)
+    # 440 Hz tone preserved: amplitude within 2% of 0.5 (N/2 * a)
+    i440 = np.argmin(np.abs(freqs - 440))
+    assert abs(spec[i440] / (len(y[:8000]) / 2) - 0.5) < 0.01
+    # aliased image of the 7 kHz tone (would land at 1 kHz) rejected >40 dB
+    i1k = np.argmin(np.abs(freqs - 1000))
+    assert spec[i1k] < spec[i440] * 0.01
+
+    # round trip 16k -> 24k -> 16k is near-identity away from the edges
+    # (the 7 kHz tone sits at 0.875x Nyquist, inside any sinc filter's
+    # transition band, so a ~2% waveform error is inherent, not a defect)
+    z = seg.resample(seg.resample(x, sr, 24000), 24000, sr)
+    m = slice(400, len(x) - 400)
+    assert np.max(np.abs(z[m] - x[m])) < 2.5e-2
