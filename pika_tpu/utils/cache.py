@@ -24,9 +24,22 @@ def enable_compilation_cache() -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "pika_tpu", "xla"),
     )
     try:
-        os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        # TPU-only: CPU programs compile in well under a second, and
+        # XLA:CPU cache entries are AOT machine code NOT keyed by host CPU
+        # features — under a remote-compile hook (e.g. the axon tunnel's
+        # PALLAS_AXON_REMOTE_COMPILE=1) they can be produced on a different
+        # x86 machine, and reloading such an entry into a local CPU-mesh
+        # run wedges a device thread (observed: collective-rendezvous
+        # timeout -> process abort in the 8-device dryrun after a CLI main
+        # had enabled the cache in-process).  Decided from the config
+        # string, not jax.default_backend(), to avoid initializing a
+        # possibly-remote backend just to configure a cache.
+        first = (jax.config.jax_platforms or "").split(",")[0].strip()
+        if first == "cpu":
+            return
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     except (OSError, AttributeError):  # read-only FS or very old jax
         pass

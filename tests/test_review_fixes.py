@@ -118,3 +118,20 @@ def test_las_both_gate_matches_reference(rng):
     tgt = np.concatenate([emb_feed, dec], -1) @ np.asarray(p["gate_tgt_w"]) + np.asarray(p["gate_tgt_b"])
     expected = np.tanh((1 - z) * tgt + z * src)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_compilation_cache_skipped_on_cpu(monkeypatch, tmp_path):
+    """XLA:CPU persistent-cache entries are AOT machine code not keyed by
+    host CPU features; under a remote-compile hook they can be produced on
+    a different machine and wedge a local CPU-mesh run on reload (observed
+    as a collective-rendezvous abort in the 8-device dryrun).  The cache
+    must therefore stay TPU-only: a no-op when the platform is cpu."""
+    import jax
+
+    from pika_tpu.utils.cache import enable_compilation_cache
+
+    monkeypatch.setenv("PIKA_CACHE_DIR", str(tmp_path / "xla"))
+    before = jax.config.jax_compilation_cache_dir
+    enable_compilation_cache()  # conftest pins jax_platforms to "cpu"
+    assert jax.config.jax_compilation_cache_dir == before
+    assert not (tmp_path / "xla").exists()
