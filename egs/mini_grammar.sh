@@ -48,7 +48,9 @@ cat > $conf <<EOF
 --num-mel-bins=40
 EOF
 
-if [ ! -f $data/train/data.lst ]; then
+# guard on the LAST artifact of stages 0-2 (lm.arpa), not the first: a
+# run killed mid-stage-2 must redo the block on restart
+if [ ! -f $data/lm.arpa ]; then
     echo "=== stage 0: synthesize grammar corpus (1500 train / 400 test; dev 200) ==="
     # test SNR 5-15 dB — harder than the training augmentation range
     # (10-30): the baseline must make enough errors (~8-15% WER) for the
@@ -142,10 +144,21 @@ for s in 0.2 0.4 0.8 1.2; do
             $decode_flags > $exp/decode_devfst$s.out 2>&1 || true
     fi
     w=$(grep -oE "%WER [0-9.]+" $exp/decode_devfst$s.out | awk '{print $2}' | tail -1)
+    if [ -z "$w" ]; then
+        # decode wedged past its timeout: drop the cached empty .out so a
+        # restart retries it, and skip this scale rather than abort
+        rm -f $exp/decode_devfst$s.out
+        echo "dev fst_lm_scale $s -> decode failed; skipping" | tee -a $results
+        continue
+    fi
     echo "dev fst_lm_scale $s -> WER $w" | tee -a $results
     better=$(python -c "print(1 if $w < $best_wer else 0)")
     if [ "$better" = 1 ]; then best_wer=$w; best_scale=$s; fi
 done
+if [ -z "$best_scale" ]; then
+    echo "no dev decode succeeded; cannot tune fst_lm_scale" | tee -a $results
+    exit 1
+fi
 echo "chosen fst_lm_scale $best_scale (dev WER $best_wer)" | tee -a $results
 wer_of base_fst python -m pika_tpu.train.eval_transducer \
     $model $data/test/wav.scp $exp/nbest_fst.txt \

@@ -13,11 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# plain float, NOT jnp.float32(...): a module-level jnp call initializes
-# the XLA backend at import time, which forbids a later
-# jax.distributed.initialize (multi-host trainers import this module)
-BIG = 1e9
-
 
 def edit_distance_jax(ref: jnp.ndarray, ref_len, hyp: jnp.ndarray, hyp_len) -> jnp.ndarray:
     """Distance between padded int sequences ref (U,) and hyp (V,)."""

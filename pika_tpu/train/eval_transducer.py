@@ -260,7 +260,11 @@ def main(argv=None):
                     out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
                     eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
                 )
-                fw_scores, fw_tok = np.asarray(fw_scores), np.asarray(fw_tok)
+                # per-token scores are only written under --output_scores;
+                # each np.asarray is a D2H round trip (~32 ms fixed latency
+                # on tunneled transports) — don't pay it for unused arrays
+                fw_scores = np.asarray(fw_scores)
+                fw_tok = np.asarray(fw_tok) if args.output_scores else None
             if las_bw is not None:
                 m, v, _ = las_bw
                 bw_scores, bw_tok = las_score_hyps(
@@ -269,7 +273,8 @@ def main(argv=None):
                     eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
                     reverse=True,
                 )
-                bw_scores, bw_tok = np.asarray(bw_scores), np.asarray(bw_tok)
+                bw_scores = np.asarray(bw_scores)
+                bw_tok = np.asarray(bw_tok) if args.output_scores else None
 
             # ONE bulk fetch of the small outputs per batch (after the LAS
             # programs are dispatched, so scoring overlaps the transfer).

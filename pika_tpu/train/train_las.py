@@ -78,7 +78,9 @@ def main(argv=None):
     proc_id, n_proc = common.maybe_distributed_init(args)
     is_main = proc_id == 0  # noqa: F841 — kept for symmetry; saves are collective
     if args.num_devices is None:
-        args.num_devices = jax.device_count() if n_proc > 1 else 1
+        # all visible devices, matching train_transducer and the
+        # --num_devices help text (multi-host: the global device count)
+        args.num_devices = jax.device_count()
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     log_f = open(args.log.replace("WORKER-ID", str(proc_id)), "w")
@@ -241,7 +243,8 @@ def main(argv=None):
                 if len(pend) < args.sync_period:
                     continue
                 stacked = {k: jax.device_put(v, bsh)
-                           for k, v in _stack_batches(pend).items()}
+                           for k, v in _stack_batches(
+                               pend, pad_values={"labels": pad_idx}).items()}
                 pend = []
                 key, sub = jax.random.split(key)
                 bstate, _, ok, metrics = round_fn(

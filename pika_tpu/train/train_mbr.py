@@ -73,7 +73,9 @@ def main(argv=None):
     # single-device default preserves the one-chip flagship behavior; a
     # multi-host launch spans every device in the pod unless told otherwise
     if args.num_devices is None:
-        args.num_devices = jax.device_count() if n_proc > 1 else 1
+        # all visible devices, matching train_transducer and the
+        # --num_devices help text (multi-host: the global device count)
+        args.num_devices = jax.device_count()
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     log_f = open(args.log.replace("WORKER-ID", str(proc_id)), "w")

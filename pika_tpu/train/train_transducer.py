@@ -81,7 +81,8 @@ def make_model(args, input_dim):
     return model, variables, cfg
 
 
-def feats_batch_stream(args, batch_size: int, epoch: int, shuffle=True):
+def feats_batch_stream(args, batch_size: int, epoch: int, shuffle=True,
+                       required=True):
     """Precomputed-feature batches (--loader utt)."""
     from pika_tpu.data.feats_loader import FeatsLoaderConfig, feats_dataloader
 
@@ -105,20 +106,25 @@ def feats_batch_stream(args, batch_size: int, epoch: int, shuffle=True):
     if n_dropped:
         print(f"feats_batch_stream: dropped {n_dropped} tail utterances "
               f"(< batch_size {batch_size})", file=sys.stderr)
-    if n_yielded == 0:
+    if n_yielded == 0 and required:
         raise RuntimeError(
             f"feats_batch_stream: epoch produced 0 full batches "
             f"(batch_size {batch_size}, {n_dropped} utterances dropped) — "
             f"is the corpus smaller than the global batch?")
+    if n_yielded == 0:
+        print(f"feats_batch_stream: 0 full batches (batch_size "
+              f"{batch_size}); skipping", file=sys.stderr)
 
 
-def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
+def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None,
+                 required=True):
     """Merged stream over (possibly WORKER-ID-expanded) data lists."""
     import dataclasses as _dc
 
     if getattr(args, "loader", "otf") == "utt":
         yield from feats_batch_stream(args, loader_cfg.batch_size, epoch,
-                                      shuffle=loader_cfg.augment)
+                                      shuffle=loader_cfg.augment,
+                                      required=required)
         return
 
     if noise is None:
@@ -144,11 +150,14 @@ def batch_stream(args, loader_cfg, epoch: int, noise=None, rir=None):
     if n_dropped:
         print(f"batch_stream: dropped {n_dropped} tail utterances "
               f"(< batch_size {expected})", file=sys.stderr)
-    if n_yielded == 0:
+    if n_yielded == 0 and required:
         raise RuntimeError(
             f"batch_stream: epoch produced 0 full batches (batch_size "
             f"{expected}, {n_dropped} utterances dropped) — is the corpus "
             f"smaller than the global batch?")
+    if n_yielded == 0:
+        print(f"batch_stream: 0 full batches (batch_size {expected}); "
+              f"skipping", file=sys.stderr)
 
 
 def _wavs_i16(key, v):
@@ -455,7 +464,9 @@ def main(argv=None):
         import copy as _copy
         vargs = _copy.copy(args)
         vargs.data_lst = args.valid_data_lst
-        for batch in batch_stream(vargs, vargs_cfg, 0):
+        # a valid set smaller than the global batch logs and skips — only
+        # the TRAINING stream treats an empty epoch as fatal
+        for batch in batch_stream(vargs, vargs_cfg, 0, required=False):
             m = eval_step(vstate, to_device_batch(batch))
             tot_loss += float(m["loss"])
             tot_labels += float(m["num_labels"])
@@ -555,17 +566,24 @@ def _variables_out(params, batch_stats=None):
     return out
 
 
-def _stack_batches(batches):
+def _stack_batches(batches, pad_values=None):
     """Stack a sync period of HOST batches, padding to the largest bucket.
-    Returns numpy arrays — the caller ships them in one transfer."""
+    Returns numpy arrays — the caller ships them in one transfer.
+
+    ``pad_values`` maps batch keys to the fill value used when widening a
+    narrower bucket (default 0).  LAS targets MUST pad with the model's
+    pad_idx: las_loss masks by ``targets != pad_idx``, so zero-fill would
+    count padding as real token-0 targets."""
     keys = [k for k in batches[0] if k != "uttids"]
     out = {}
     for k in keys:
         arrs = [np.asarray(b[k]) for b in batches]
         if arrs[0].ndim >= 2:
             dim = max(a.shape[1] for a in arrs)
+            fill = (pad_values or {}).get(k, 0)
             arrs = [
-                np.pad(a, [(0, 0), (0, dim - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
+                np.pad(a, [(0, 0), (0, dim - a.shape[1])] + [(0, 0)] * (a.ndim - 2),
+                       constant_values=fill)
                 for a in arrs
             ]
         out[k] = np.stack(arrs)

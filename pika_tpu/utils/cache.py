@@ -35,7 +35,11 @@ def enable_compilation_cache() -> None:
         # timeout -> process abort in the 8-device dryrun after a CLI main
         # had enabled the cache in-process).  Decided from the config
         # string, not jax.default_backend(), to avoid initializing a
-        # possibly-remote backend just to configure a cache.
+        # possibly-remote backend just to configure a cache.  An UNSET
+        # platform list enables the cache: it means the ambient default
+        # backend, which is the accelerator on TPU hosts; on a plain
+        # CPU-only host (no remote-compile hook) local AOT entries are
+        # feature-matched to the machine that wrote them, so they are safe.
         first = (jax.config.jax_platforms or "").split(",")[0].strip()
         if first == "cpu":
             return

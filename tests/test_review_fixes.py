@@ -135,3 +135,24 @@ def test_compilation_cache_skipped_on_cpu(monkeypatch, tmp_path):
     enable_compilation_cache()  # conftest pins jax_platforms to "cpu"
     assert jax.config.jax_compilation_cache_dir == before
     assert not (tmp_path / "xla").exists()
+
+
+def test_stack_batches_pads_labels_with_pad_idx():
+    """BMUF stacks a sync period of host batches, padding narrower label
+    buckets to the widest; LAS targets must widen with pad_idx (las_loss
+    masks by != pad_idx), not 0 — zero-fill counted padding as real
+    token-0 targets and corrupted the NLL gradient."""
+    import numpy as np
+
+    from pika_tpu.train.train_transducer import _stack_batches
+
+    pad = 32
+    b1 = {"labels": np.full((2, 3), 5, np.int32), "lens": np.array([3, 3])}
+    b2 = {"labels": np.full((2, 5), 7, np.int32), "lens": np.array([5, 5])}
+    out = _stack_batches([b1, b2], pad_values={"labels": pad})
+    assert out["labels"].shape == (2, 2, 5)
+    assert (out["labels"][0, :, 3:] == pad).all()   # widened with pad_idx
+    assert (out["labels"][1] == 7).all()            # untouched
+    # default fill stays 0 (transducer labels mask by label_lens)
+    out0 = _stack_batches([b1, b2])
+    assert (out0["labels"][0, :, 3:] == 0).all()
