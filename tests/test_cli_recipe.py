@@ -237,6 +237,7 @@ def test_full_recipe(tmp_path, rng):
         "--optim", "sgd", "--initial_lr", "0.01", "--final_lr", "0.01",
         "--grad_clip", "3.0", "--num_epochs", "1", "--num_batches_per_epoch", "3",
         "--beam_size", "2", "--decode_max_symbols", "8", "--rnnt_scale", "0.1",
+        "--num_devices", "2",  # default is now all 8 virtual devices
     ])
     assert os.path.exists(f"{d}/exp_mbr/model.epoch.0/model.json")
 
@@ -256,6 +257,7 @@ def test_full_recipe(tmp_path, rng):
         "--shared_encoder_model", model_dir,
         "--optim", "adam", "--initial_lr", "0.005", "--final_lr", "0.005",
         "--num_epochs", "4", "--num_batches_per_epoch", "3",
+        "--num_devices", "2",  # default is now all 8 virtual devices
     ])
     las_dir = f"{d}/exp_las/model.epoch.3"
     assert os.path.exists(f"{las_dir}/model.json")
