@@ -156,3 +156,30 @@ def test_stack_batches_pads_labels_with_pad_idx():
     # default fill stays 0 (transducer labels mask by label_lens)
     out0 = _stack_batches([b1, b2])
     assert (out0["labels"][0, :, 3:] == 0).all()
+
+
+def test_honor_platforms_env(monkeypatch):
+    """A platform-plugin hook that rewrites jax_platforms must not override
+    an explicit JAX_PLATFORMS in the environment (a CPU-pinned subprocess
+    otherwise initializes the remote backend and hangs with the transport)."""
+    import jax
+
+    from pika_tpu.utils.platform import honor_platforms_env
+
+    orig = jax.config.jax_platforms
+    try:
+        # hook injected a platform the env never named -> env re-asserted
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "axon,cpu")
+        honor_platforms_env()
+        assert jax.config.jax_platforms == "cpu"
+        # config == env -> no-op
+        honor_platforms_env()
+        assert jax.config.jax_platforms == "cpu"
+        # env unset -> untouched even with a hook value
+        monkeypatch.delenv("JAX_PLATFORMS")
+        jax.config.update("jax_platforms", "axon,cpu")
+        honor_platforms_env()
+        assert jax.config.jax_platforms == "axon,cpu"
+    finally:
+        jax.config.update("jax_platforms", orig)
