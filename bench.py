@@ -70,6 +70,36 @@ def flop_model(t_frames: int, batch: int, u: int) -> float:
     return 3.0 * fwd  # fwd + bwd
 
 
+def wait_for_transport(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
+    """The tunneled PJRT transport has multi-minute (observed: multi-hour)
+    hang episodes that start/recover without local action.  Probe a trivial
+    D2H in a SUBPROCESS (a wedged client call cannot be cancelled in-proc)
+    and wait for recovery up to ``budget_s``, so a bench launched during an
+    episode degrades to a late number instead of an infinite hang."""
+    import subprocess
+    import sys as _sys
+
+    deadline = time.time() + budget_s
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "print(float(np.asarray(jnp.arange(8.0)).sum()))")
+    while True:
+        try:
+            r = subprocess.run([_sys.executable, "-c", probe],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(json.dumps({"metric": "train_throughput", "value": None,
+                              "unit": "utt/s/chip", "vs_baseline": None,
+                              "error": "device transport unreachable for "
+                                       f"{budget_s:.0f}s"}))
+            raise SystemExit(3)
+        print("bench: device transport unresponsive; retrying", file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -188,4 +218,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_transport()
     main()
