@@ -123,7 +123,7 @@ aug_flags="--feats_dim 40 --lctx 1 --rctx 1 --stride 1
 
 echo "=== stage 6: MBR fine-tuning (train_transducer_mbr equivalent) ==="
 mkdir -p $work/mbr
-python -m pika_tpu.train.train_mbr \
+[ -d $work/mbr/model.epoch.1 ] || python -m pika_tpu.train.train_mbr \
     $data/train/data.lst $work/mbr/train.log $work/mbr \
     --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
     --init_model $model \
@@ -137,7 +137,7 @@ echo "=== stage 7: LAS forward + backward rescorer training ==="
 for d in fw bw; do
     rev=""; [ $d = bw ] && rev="--reverse_labels"
     mkdir -p $work/las_$d
-    python -m pika_tpu.train.train_las \
+    [ -d $work/las_$d/model.epoch.7 ] || python -m pika_tpu.train.train_las \
         $data/train/data.lst $work/las_$d/train.log $work/las_$d \
         --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
         --shared_encoder_model $model \
