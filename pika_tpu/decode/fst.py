@@ -89,6 +89,16 @@ def _build_tables(
     dis_weight = np.full((n_states, d), INF, np.float32)
     for s in range(n_states):
         slist = sorted(arcs.get(s, []))
+        # The decode-time searched tables hold ONE arc per (state, ilabel)
+        # and one backoff arc per state (the reference's SortedMatcher makes
+        # the same determinism assumption, sorted_matcher.py).  A
+        # nondeterministic input would be silently mis-scored — refuse it.
+        labels = [a[0] for a in slist]
+        if len(labels) != len(set(labels)):
+            dup = sorted({l for l in labels if labels.count(l) > 1})
+            raise ValueError(
+                f"FST is nondeterministic: state {s} has multiple arcs for "
+                f"ilabel(s) {dup}; determinize it first")
         kept = []
         for ilabel, w, ns in slist:
             if ilabel == backoff_id:
@@ -127,27 +137,44 @@ def read_text_fst(
     path: str,
     backoff_id: int = 0,
     disambig_ids: Optional[List[int]] = None,
+    acceptor: bool = False,
 ) -> FstTables:
-    """Read an AT&T text-format FST (``src dst ilabel olabel [w]`` /
-    ``state [w]`` final lines) into dense tables.  The first line's source
-    state is the start state (OpenFst convention)."""
+    """Read an AT&T text-format FST into dense tables.
+
+    Transducer format (default): arc ``src dst ilabel olabel [w]``,
+    final ``state [w]``.  Acceptor format (``fstcompile --acceptor``
+    output): arc ``src dst ilabel [w]`` — pass ``acceptor=True``; the two
+    formats' 4-field arc lines are ambiguous (olabel vs weight), exactly
+    why OpenFst needs the flag too.  The first line's source state is the
+    start state (OpenFst convention)."""
     arcs: Dict[int, List[Tuple[int, float, int]]] = {}
     finals: Dict[int, float] = {}
     start = None
     max_state = 0
+    arc_fields = 3 if acceptor else 4
     with open(path, "r", encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             parts = line.split()
             if not parts:
                 continue
-            if len(parts) >= 4:
+            if len(parts) >= arc_fields:
+                if len(parts) > arc_fields + 1:
+                    raise ValueError(
+                        f"{path}:{lineno}: {len(parts)}-field line in "
+                        f"{'acceptor' if acceptor else 'transducer'} format "
+                        f"(did you mean acceptor={not acceptor}?)")
                 s, d_, il = int(parts[0]), int(parts[1]), int(parts[2])
-                w = float(parts[4]) if len(parts) > 4 else 0.0
+                w = float(parts[arc_fields]) if len(parts) > arc_fields else 0.0
                 arcs.setdefault(s, []).append((il, w, d_))
                 max_state = max(max_state, s, d_)
                 if start is None:
                     start = s
             else:
+                if len(parts) > 2:
+                    raise ValueError(
+                        f"{path}:{lineno}: 3-field line is not a valid "
+                        f"transducer arc or final state — unweighted "
+                        f"acceptor input needs acceptor=True")
                 s = int(parts[0])
                 w = float(parts[1]) if len(parts) > 1 else 0.0
                 finals[s] = w

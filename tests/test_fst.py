@@ -278,3 +278,38 @@ def test_openfst_binary_roundtrip(toy_fst, tmp_path):
     np.testing.assert_array_equal(back.backoff_next, toy_fst.backoff_next)
     np.testing.assert_allclose(back.final_weight, toy_fst.final_weight, rtol=1e-6)
     assert back.start == toy_fst.start
+
+
+def test_read_text_fst_acceptor(tmp_path):
+    """Acceptor format (fstcompile --acceptor): 'src dst il [w]'.  Its
+    4-field arc is ambiguous with an unweighted transducer arc — the
+    explicit flag resolves it, like OpenFst's own --acceptor."""
+    p = tmp_path / "a.fst.txt"
+    p.write_text("0 1 3 0.5\n1 2 4\n2 0.25\n")
+    t = read_text_fst(str(p), acceptor=True)
+    # weighted arc kept its weight (transducer parse would drop it to 0)
+    i = int(t.arc_start[0])
+    assert int(t.arc_ilabel[i]) == 3 and float(t.arc_weight[i]) == 0.5
+    # 3-field unweighted arc parsed as an arc, not a bogus final state
+    j = int(t.arc_start[1])
+    assert int(t.arc_ilabel[j]) == 4 and int(t.arc_next[j]) == 2
+    assert float(t.final_weight[2]) == 0.25
+
+
+def test_read_text_fst_rejects_ambiguous_lines(tmp_path):
+    p = tmp_path / "bad.fst.txt"
+    p.write_text("0 1 3 7\n1 2 4\n")  # 3-field arc in transducer mode
+    with pytest.raises(ValueError, match="acceptor"):
+        read_text_fst(str(p))
+    p.write_text("0 1 3 3 0.5 9\n")  # 6 fields in transducer mode
+    with pytest.raises(ValueError, match="field"):
+        read_text_fst(str(p))
+
+
+def test_build_tables_rejects_nondeterminism(tmp_path):
+    """The searched tables keep one arc per (state, ilabel); a
+    nondeterministic FST would be silently mis-scored, so it is refused."""
+    p = tmp_path / "nd.fst.txt"
+    p.write_text("0 1 3 3 0.5\n0 2 3 3 0.7\n1 0\n2 0\n")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        read_text_fst(str(p))
