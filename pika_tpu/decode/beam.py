@@ -51,6 +51,15 @@ class BeamConfig:
     nonblk_reward: float = 0.0
     max_fst_states: int = 4
     fst_backoff_levels: int = 6
+    # per-candidate shallow fusion: advance the LM for each expanded
+    # candidate (blank + the top-lm_topm non-blank model candidates per
+    # beam) and select on model + lm_scale * ACTUAL advanced LM score —
+    # the reference's semantics (beam_transducer.py:136-159).  False =
+    # the cheaper per-beam bias: the prefix LM score biases cross-beam
+    # competition but is constant over vocab, so the LM influences which
+    # BEAM survives, not which token a beam picks (one step delayed).
+    lm_per_token: bool = False
+    lm_topm: int = 8
     # matmul compute dtype inside the decode loop: "auto" = bf16 on TPU
     # (MXU native, ~2x f32), f32 elsewhere.  Scores, log_softmax and all
     # beam bookkeeping stay float32 either way.  The library default is
@@ -224,8 +233,10 @@ def beam_search(
             cfg.sm_scale * logits.astype(jnp.float32), axis=-1
         ).reshape(b, k, vocab)
 
-        sel_bias = cfg.lm_scale * st.lm_scores if use_lm else 0.0
-        cand = scores[..., None] + lp + (sel_bias[..., None] if use_lm else 0.0)
+        per_token = use_lm and cfg.lm_per_token
+        use_bias = use_lm and not cfg.lm_per_token
+        sel_bias = cfg.lm_scale * st.lm_scores if use_bias else 0.0
+        cand = scores[..., None] + lp + (sel_bias[..., None] if use_bias else 0.0)
 
         # full beams may only take blank (same cap semantics as greedy)
         full = st.lens >= um
@@ -259,15 +270,57 @@ def beam_search(
         )
 
         # --- top-k continuation ------------------------------------------
-        flat = cand.reshape(b, k * vocab)
-        top_val, top_idx = jax.lax.top_k(flat, k)
-        prev_k = top_idx // vocab
-        tok = (top_idx % vocab).astype(jnp.int32)
+        if per_token:
+            # blank + top-m non-blank candidates per beam, each scored with
+            # its actual advanced LM score (candidate restriction is safe:
+            # at most k winners, and a candidate outside the model top-m
+            # per beam only wins on LM alone at extreme lm_scale)
+            m = min(cfg.lm_topm, vocab - 1)
+            nb_val, nb_tok = jax.lax.top_k(cand.at[..., cfg.blank].set(NEG), m)
+            s_cap = st.fst_states.shape[-1]
+            adv_states, adv_costs, adv_lm = fst_advance_sets(
+                fst_tables,
+                jnp.broadcast_to(st.fst_states[:, :, None], (b, k, m, s_cap)),
+                jnp.broadcast_to(st.fst_costs[:, :, None], (b, k, m, s_cap)),
+                nb_tok + 1,  # FST ilabels are shifted by one
+                cfg.fst_backoff_levels, cfg.nonblk_reward)
+            adv_lm = jnp.maximum(adv_lm, NEG)
+            mc = m + 1  # candidate 0 is blank: prefix LM set unchanged
+            vals = jnp.concatenate([cand[..., cfg.blank][..., None], nb_val], -1)
+            lm_all = jnp.concatenate([st.lm_scores[..., None], adv_lm], -1)
+            toks = jnp.concatenate(
+                [jnp.full((b, k, 1), cfg.blank, jnp.int32), nb_tok], -1)
+            states_all = jnp.concatenate(
+                [st.fst_states[:, :, None], adv_states], axis=2)
+            costs_all = jnp.concatenate(
+                [st.fst_costs[:, :, None], adv_costs], axis=2)
+            sel = (vals + cfg.lm_scale * lm_all).reshape(b, k * mc)
+            _, top_idx = jax.lax.top_k(sel, k)
+            prev_k = top_idx // mc
+            tok = jnp.take_along_axis(
+                toks.reshape(b, k * mc), top_idx, axis=1).astype(jnp.int32)
+            new_scores = jnp.take_along_axis(
+                vals.reshape(b, k * mc), top_idx, axis=1)
+            sel_lm = jnp.take_along_axis(
+                lm_all.reshape(b, k * mc), top_idx, axis=1)
+            sel_states = jnp.take_along_axis(
+                states_all.reshape(b, k * mc, s_cap), top_idx[..., None], axis=1)
+            sel_costs = jnp.take_along_axis(
+                costs_all.reshape(b, k * mc, s_cap), top_idx[..., None], axis=1)
+            # a candidate whose LM state set died cannot continue in-grammar
+            # or ever finish — kill it instead of zombie-decoding LM-free
+            new_scores = jnp.where(sel_lm <= NEG / 2, NEG, new_scores)
+            lm_prev = _gather_beams(st.lm_scores, prev_k)
+        else:
+            flat = cand.reshape(b, k * vocab)
+            top_val, top_idx = jax.lax.top_k(flat, k)
+            prev_k = top_idx // vocab
+            tok = (top_idx % vocab).astype(jnp.int32)
 
-        new_scores = top_val
-        lm_prev = _gather_beams(st.lm_scores, prev_k)
-        if use_lm:
-            new_scores = new_scores - cfg.lm_scale * lm_prev
+            new_scores = top_val
+            lm_prev = _gather_beams(st.lm_scores, prev_k)
+            if use_lm:
+                new_scores = new_scores - cfg.lm_scale * lm_prev
 
         tokens = _gather_beams(st.tokens, prev_k)
         lens = _gather_beams(st.lens, prev_k)
@@ -321,7 +374,11 @@ def beam_search(
         dec_gy = jnp.where(keep, new_gy, dec_gy.reshape(b * k, hid)).reshape(b, k, hid)
 
         lm_scores = lm_prev
-        if use_lm:
+        if per_token:
+            # the selected candidates' sets were advanced BEFORE selection;
+            # candidate 0 (blank) carried the prefix set through unchanged
+            fst_states, fst_costs, lm_scores = sel_states, sel_costs, sel_lm
+        elif use_lm:
             adv_states, adv_costs, adv_lm = fst_advance_sets(
                 fst_tables, fst_states, fst_costs,
                 tok + 1,  # FST ilabels are shifted by one (beam_transducer.py:139)

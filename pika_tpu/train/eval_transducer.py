@@ -62,6 +62,15 @@ def build_parser():
     parser.add_argument("--fst_lm_scale", type=float, default=1.0)
     parser.add_argument("--nonblk_reward", type=float, default=0.0)
     parser.add_argument("--max_fst_states", type=int, default=4)
+    parser.add_argument("--fst_per_token", action="store_true",
+                        help="per-candidate fusion: advance the LM for each "
+                             "expanded candidate and select on the actual "
+                             "advanced LM score (the reference's "
+                             "beam_transducer semantics); default is the "
+                             "cheaper per-beam prefix-LM bias")
+    parser.add_argument("--fst_topm", type=int, default=8,
+                        help="non-blank candidates per beam considered by "
+                             "--fst_per_token")
     parser.add_argument("--las_rescorer_model", type=str, default=None)
     parser.add_argument("--las_rescorer_bw_model", type=str, default=None)
     parser.add_argument("--rnnt_score_scale", type=float, default=1.0)
@@ -120,6 +129,7 @@ def main(argv=None):
         sm_scale=args.sm_scale, max_symbols=args.max_symbols,
         lm_scale=args.fst_lm_scale if fst_tables is not None else 0.0,
         nonblk_reward=args.nonblk_reward, max_fst_states=args.max_fst_states,
+        lm_per_token=args.fst_per_token, lm_topm=args.fst_topm,
         mm_dtype=args.decode_dtype,
     )
 

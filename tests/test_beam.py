@@ -199,3 +199,78 @@ def test_dup_mask_requires_token_equality():
                                 jnp.zeros((1, 4), jnp.int32),
                                 jnp.full((1, 4, um), -1, jnp.int32)))
     assert not dup0.any()
+
+
+def test_per_token_fusion_matches_exhaustive(rng, tmp_path):
+    """Per-candidate fusion (lm_per_token) with a full candidate set and a
+    wide beam must return the argmax of Viterbi-model + lm_scale * LM score
+    over all label sequences — the reference's fusion semantics
+    (beam_transducer.py:136-159)."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    # single-state LM: token 1 (ilabel 2) costs 2.0, token 2 (ilabel 3)
+    # costs 0.3, final weight 0.1
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text("0 0 2 2 2.0\n0 0 3 3 0.3\n0 0.1\n")
+    tables = read_text_fst(str(lm))
+    scale = 0.7
+    out = beam_search(
+        model, variables, enc, lens,
+        BeamConfig(beam_size=16, n_best=2, max_symbols=4, lm_scale=scale,
+                   max_fst_states=4, lm_per_token=True, lm_topm=2),
+        fst_tables=tables.device_arrays(), fst_start=tables.start)
+
+    cost = {1: 2.0, 2: 0.3}
+    best_score, best_seq = -1e30, None
+    for length in range(0, 4):
+        for seq in itertools.product([1, 2], repeat=length):
+            s = _path_logprob(model, variables, enc[0], list(seq))
+            s += scale * (-sum(cost[t] for t in seq) - 0.1)
+            if s > best_score:
+                best_score, best_seq = s, list(seq)
+    got_len = int(out["lens"][0, 0])
+    got = list(np.asarray(out["tokens"][0, 0, :got_len]))
+    assert got == best_seq, f"beam {got} vs brute {best_seq}"
+    np.testing.assert_allclose(float(out["scores"][0, 0]), best_score, rtol=1e-4)
+
+
+def test_per_token_fusion_steers(rng, tmp_path):
+    """The existing steering case must also hold in per-token mode, where
+    the forbidden token is rejected at selection time (not a step late)."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text("0 0 3 3 0.0\n0 0 2 2 50.0\n0 0.0\n")
+    tables = read_text_fst(str(lm))
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=8, n_best=2, max_symbols=4,
+                                 lm_scale=1.0, max_fst_states=4,
+                                 lm_per_token=True, lm_topm=2),
+                      fst_tables=tables.device_arrays(), fst_start=tables.start)
+    top_len = int(out["lens"][0, 0])
+    top = list(np.asarray(out["tokens"][0, 0, :top_len]))
+    assert 1 not in top, f"LM-forbidden token survived: {top}"
+
+
+def test_per_token_fusion_kills_dead_lm_sets(rng, tmp_path):
+    """A no-backoff grammar with NO arc for token 1: candidates emitting it
+    leave the grammar and must die at selection — never resurface with a
+    corrupted (e.g. exactly-0) score."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text("0 0 3 3 0.1\n0 0.0\n")  # only token 2 is in-grammar
+    tables = read_text_fst(str(lm))
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=4, n_best=4, max_symbols=4,
+                                 lm_scale=0.5, max_fst_states=4,
+                                 lm_per_token=True, lm_topm=2),
+                      fst_tables=tables.device_arrays(), fst_start=tables.start)
+    for j in range(4):
+        score = float(out["scores"][0, j])
+        if score <= -1e19:  # empty slot
+            continue
+        l = int(out["lens"][0, j])
+        toks = list(np.asarray(out["tokens"][0, j, :l]))
+        assert 1 not in toks, f"off-grammar hyp survived: {toks} @ {score}"
+        assert score < 0.0, f"corrupted score {score} for {toks}"
