@@ -227,5 +227,19 @@ wer_of mbr_las_fst python -m pika_tpu.train.eval_transducer \
     --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
     --symbols_map $data/char.txt $decode_flags
 
+echo "=== stage 9: per-token fusion (--fst_per_token) decodes ==="
+# per-candidate LM advance at selection time (the reference's
+# beam_transducer semantics) vs the default per-beam prefix bias
+wer_of base_fst_pt python -m pika_tpu.train.eval_transducer \
+    $model $data/test/wav.scp $exp/nbest_fst_pt.txt \
+    --ref_labels ark:$data/test/label.txt \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_per_token \
+    --symbols_map $data/char.txt $decode_flags
+wer_of mbr_fst_pt python -m pika_tpu.train.eval_transducer \
+    $mbr_model $data/test/wav.scp $exp/nbest_mbr_fst_pt.txt \
+    --ref_labels ark:$data/test/label.txt \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_per_token \
+    --symbols_map $data/char.txt $decode_flags
+
 echo "=== RESULTS (seed $SEED) ==="
 cat $results

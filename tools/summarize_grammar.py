@@ -13,7 +13,8 @@ import glob
 import re
 import sys
 
-STAGES = ["base", "base_fst", "mbr", "mbr_fst", "mbr_las", "mbr_las_fst"]
+STAGES = ["base", "base_fst", "base_fst_pt", "mbr", "mbr_fst", "mbr_fst_pt",
+          "mbr_las", "mbr_las_fst"]
 
 
 def main():
