@@ -175,9 +175,9 @@ class Transducer(nn.Module):
 
         Used by greedy/beam decoding where each beam has one (t, u) pair
         (decoder/transducer_decoder.py:173-177)."""
-        pre = self.fc1_x(enc_hid) + self.fc1_y(dec_hid)
-        gate = self.gate_x(enc_hid) + self.gate_y(dec_hid)
-        return self.fc2(jnp.tanh(pre) * jax.nn.sigmoid(gate))
+        ax, gx = self.joint_enc_factors(enc_hid)
+        ay, gy = self.joint_dec_factors(dec_hid)
+        return self.joint_from_factors(ax, gx, ay, gy)
 
     def joint_enc_factors(self, enc_out: jnp.ndarray):
         """Encoder-side joint pre-activations (ax, gx) over all frames.

@@ -176,9 +176,12 @@ def rnnt_loss_from_logprobs(
     alpha = rnnt_alpha(blank_lp, emit_lp, u_len)
     b = log_probs.shape[0]
     bi = jnp.arange(b)
-    final_alpha = alpha[bi, t_len - 1, u_len]
-    final_blank = blank_lp[bi, t_len - 1, u_len]
-    return -(final_alpha + final_blank)
+    # t_len <= 0 would wrap the gather to the last padded row and return a
+    # garbage-but-finite loss; clamp the index and zero the loss instead
+    tl = jnp.maximum(t_len, 1)
+    final_alpha = alpha[bi, tl - 1, u_len]
+    final_blank = blank_lp[bi, tl - 1, u_len]
+    return jnp.where(t_len > 0, -(final_alpha + final_blank), 0.0)
 
 
 def rnnt_occupancy(
@@ -187,15 +190,18 @@ def rnnt_occupancy(
     labels: jnp.ndarray,
     t_len: jnp.ndarray,
     u_len: jnp.ndarray,
+    alpha: jnp.ndarray = None,
 ):
     """Posterior occupancy gradients of the summed loss w.r.t. the channel
     log-probs: returns (g_blank, g_emit), each (B, T, U+1), where
     dL/d blank_lp = g_blank etc.  Used by the fused backward pass."""
     b, t_max, u1 = blank_lp.shape
-    alpha = rnnt_alpha(blank_lp, emit_lp, u_len)
+    if alpha is None:
+        alpha = rnnt_alpha(blank_lp, emit_lp, u_len)
     beta = rnnt_beta(blank_lp, emit_lp, t_len, u_len)
     bi = jnp.arange(b)
-    log_like = alpha[bi, t_len - 1, u_len] + blank_lp[bi, t_len - 1, u_len]
+    tl = jnp.maximum(t_len, 1)  # empty utterances: `valid` zeroes every cell
+    log_like = alpha[bi, tl - 1, u_len] + blank_lp[bi, tl - 1, u_len]
 
     t_pos = jnp.arange(t_max)[None, :, None]
     u_pos = jnp.arange(u1)[None, None, :]
@@ -279,23 +285,30 @@ def _fused_fwd_impl(ax, gx, ay, gy, w2, b2, labels, t_len, u_len, chunk, backend
     emit_lp = zy - lse
     alpha = rnnt_alpha(blank_lp, emit_lp, u_len)
     bi = jnp.arange(b)
-    loss = -(alpha[bi, t_len - 1, u_len] + blank_lp[bi, t_len - 1, u_len])
-    return loss, (lse, zb, zy, labels_ext)
+    tl = jnp.maximum(t_len, 1)
+    loss = -(alpha[bi, tl - 1, u_len] + blank_lp[bi, tl - 1, u_len])
+    loss = jnp.where(t_len > 0, loss, 0.0)
+    return loss, (lse, zb, zy, labels_ext, alpha)
 
 
 def _fused_fwd(ax, gx, ay, gy, w2, b2, labels, t_len, u_len, chunk, backend):
-    loss, (lse, zb, zy, labels_ext) = _fused_fwd_impl(
+    loss, (lse, zb, zy, labels_ext, alpha) = _fused_fwd_impl(
         ax, gx, ay, gy, w2, b2, labels, t_len, u_len, chunk, backend
     )
-    return loss, (ax, gx, ay, gy, w2, b2, labels_ext, t_len, u_len, lse, zb, zy)
+    # alpha rides along as a residual: one (B, T, U+1) f32 buffer (the same
+    # footprint as each saved channel) saves the backward one sequential
+    # T-length forward scan
+    return loss, (ax, gx, ay, gy, w2, b2, labels_ext, t_len, u_len,
+                  lse, zb, zy, alpha)
 
 
 def _fused_bwd(chunk, backend, res, g_loss):
-    ax, gx, ay, gy, w2, b2, labels_ext, t_len, u_len, lse, zb, zy = res
+    ax, gx, ay, gy, w2, b2, labels_ext, t_len, u_len, lse, zb, zy, alpha = res
     blank_lp = zb - lse
     emit_lp = zy - lse
     labels = labels_ext[:, :-1]
-    g_blank, g_emit = rnnt_occupancy(blank_lp, emit_lp, labels, t_len, u_len)
+    g_blank, g_emit = rnnt_occupancy(blank_lp, emit_lp, labels, t_len, u_len,
+                                     alpha=alpha)
     # scale per-utterance upstream gradient
     g_blank = g_blank * g_loss[:, None, None]
     g_emit = g_emit * g_loss[:, None, None]
@@ -328,14 +341,10 @@ def _fused_bwd(chunk, backend, res, g_loss):
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
         return x.reshape(x.shape[0], n_chunks, chunk, x.shape[2]).swapaxes(0, 1)
 
-    def pad_ck2(x):
-        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
-        return x.reshape(x.shape[0], n_chunks, chunk, x.shape[2]).swapaxes(0, 1)
-
     ax_ck, gx_ck = pad_ck(ax), pad_ck(gx)
-    dl_ck = pad_ck2(d_lse)
-    db_ck = pad_ck2(d_zb)
-    dy_ck = pad_ck2(d_zy)
+    dl_ck = pad_ck(d_lse)
+    db_ck = pad_ck(d_zb)
+    dy_ck = pad_ck(d_zy)
 
     def bwd_one(c):
         ax_c, gx_c, dl_c, db_c, dy_c = c

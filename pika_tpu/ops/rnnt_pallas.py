@@ -8,9 +8,13 @@ VMEM; the (rows, H) @ (H, V-tile) projection runs on the MXU in bf16 with
 f32 accumulation; the logsumexp is maintained online (flash-attention
 style) across V tiles.
 
-Memory per batch:  3·B·T·U floats instead of B·T·U·V — for the flagship
-config (V = 6268) a ~2000x reduction in lattice HBM traffic, removing the
-reference's TU_limit OOM hack at its root (loader/otf_utt_loader.py:245-247).
+Memory per batch:  the FORWARD materializes 3·B·T·U floats instead of
+B·T·U·V — for the flagship config (V = 6268) a ~2000x reduction in lattice
+HBM traffic, removing the reference's TU_limit OOM hack at its root
+(loader/otf_utt_loader.py:245-247).  The BACKWARD additionally caches the
+joint hidden h as (B, U1, T, H) bf16 in HBM (see joint_channels_pallas_bwd)
+— still ~V/H ≈ 6x smaller than the logits lattice, but the term that
+matters when sizing batches.
 
 Grid layout (forward + grad-in kernel): (B, T-tiles, U-tiles, V-tiles),
 V innermost so the online max/sum accumulators live in VMEM scratch.
@@ -57,9 +61,6 @@ def _fwd_kernel(labels_ref,  # scalar prefetch: (B, U1p) int32 in SMEM
     vi = pl.program_id(3)
     nv = pl.num_programs(3)
     block_t = ax_ref.shape[1]
-
-    h = ax_ref.shape[2]
-    rows = block_u * block_t
 
     @pl.when(vi == 0)
     def _init():
@@ -132,7 +133,13 @@ def joint_channels_pallas(
     block_t: int = 128, block_u: int = 8, block_v: int = 512,
     mm_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(lse, z_blank, z_label), each (B, T, U+1) float32."""
+    """(lse, z_blank, z_label), each (B, T, U+1) float32.
+
+    block_v stays fixed at 512: the forward's scratch is only the three
+    online accumulators (no dh tile), and 512 compiles and runs fine at
+    every measured shape incl. B32/Tp250 and B8/Tp1500 — the adaptive
+    shrink in joint_channels_pallas_bwd is for the backward's dh scratch.
+    """
     b = ax.shape[0]
     h = ax.shape[2]
     ax, gx, ay, gy, w2, b2, labels_ext, (t, u1, v, tp, u1p, vp) = _pad_inputs(
@@ -197,7 +204,6 @@ def _bwd_in_kernel(labels_ref,
     ui = pl.program_id(2)
     vi = pl.program_id(3)
     nv = pl.num_programs(3)
-    nu = pl.num_programs(2)
     block_t = ax_ref.shape[1]
 
     @pl.when(vi == 0)
@@ -305,6 +311,9 @@ def joint_channels_pallas_bwd(
     block_t: int = 128, block_u: int = 8, block_v: int = 0,
     mm_dtype=jnp.bfloat16,
 ):
+    """Gradients (d_ax, d_gx, d_ay, d_gy, d_w2, d_b2) given channel
+    cotangents.  ``lse`` is re-used from the forward pass; z is recomputed
+    tile-by-tile."""
     if block_v == 0:
         # Mosaic's scoped-VMEM stack for these kernels grows slowly with
         # the total B*Tp extent and crosses the 16MB limit at block_v=512
@@ -319,9 +328,6 @@ def joint_channels_pallas_bwd(
     # VMEM budget note: the input-grad kernel's dh scratch plus the
     # double-buffered h/ax/gx/w2 inputs and dax/dgx output accumulators sit
     # close to the 16MB scoped-VMEM limit; see the scratch_shapes comment.
-    """Gradients (d_ax, d_gx, d_ay, d_gy, d_w2, d_b2) given channel
-    cotangents.  ``lse`` is re-used from the forward pass; z is recomputed
-    tile-by-tile."""
     bsz, t, h = ax.shape
     u1 = ay.shape[1]
     v = w2.shape[1]

@@ -170,3 +170,32 @@ def test_fused_weighted_grads(rng):
         np.asarray(jax.grad(f_lattice)(args[0])),
         rtol=2e-3, atol=1e-4,
     )
+
+
+def test_zero_length_utterance_yields_zero_loss_and_grad(rng):
+    """t_len = 0 (reachable: <400-sample audio produces 0 frames) must not
+    wrap the final-cell gather into padding — loss is 0, gradients are 0."""
+    import jax
+
+    b, t, u1, v, h = 2, 4, 3, 5, 8
+    ax = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    gx = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    ay = jnp.asarray(rng.standard_normal((b, u1, h)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((b, u1, h)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h, v)), jnp.float32)
+    b2 = jnp.zeros((v,), jnp.float32)
+    labels = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    t_len = jnp.asarray([0, 4], jnp.int32)
+    u_len = jnp.asarray([2, 2], jnp.int32)
+
+    def total(ax):
+        return rnnt_loss_fused(ax, gx, ay, gy, w2, b2, labels, t_len, u_len,
+                               backend="xla").sum()
+
+    losses = rnnt_loss_fused(ax, gx, ay, gy, w2, b2, labels, t_len, u_len,
+                             backend="xla")
+    assert float(losses[0]) == 0.0
+    assert np.isfinite(float(losses[1])) and float(losses[1]) > 0.0
+    g = jax.grad(total)(ax)
+    assert float(jnp.abs(g[0]).max()) == 0.0   # empty utt contributes nothing
+    assert float(jnp.abs(g[1]).max()) > 0.0
