@@ -235,6 +235,13 @@ def beam_search(
 
         per_token = use_lm and cfg.lm_per_token
         use_bias = use_lm and not cfg.lm_per_token
+        if use_bias:
+            # a beam whose LM state set died (possible only with no-backoff
+            # FSTs) can never finish (final LM score -INF) — kill it here.
+            # Without this, lm_scale * NEG rides through the selection bias
+            # and the f32 subtract-back at new_scores cancels to exactly 0,
+            # resurrecting the dead beam above every real hypothesis.
+            scores = jnp.where(st.lm_scores <= NEG / 2, NEG, scores)
         sel_bias = cfg.lm_scale * st.lm_scores if use_bias else 0.0
         cand = scores[..., None] + lp + (sel_bias[..., None] if use_bias else 0.0)
 

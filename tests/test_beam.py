@@ -274,3 +274,28 @@ def test_per_token_fusion_kills_dead_lm_sets(rng, tmp_path):
         toks = list(np.asarray(out["tokens"][0, j, :l]))
         assert 1 not in toks, f"off-grammar hyp survived: {toks} @ {score}"
         assert score < 0.0, f"corrupted score {score} for {toks}"
+
+
+def test_stale_bias_fusion_no_dead_set_resurrection(rng, tmp_path):
+    """Default (per-beam bias) fusion with a no-backoff grammar: a beam
+    whose LM state set dies must be killed, not resurrected — the f32
+    cancellation of lm_scale*NEG through the selection bias used to land
+    dead beams at score exactly 0, beating every real hypothesis."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=2, t=4)
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text("0 0 3 3 0.1\n0 0.0\n")  # only token 2 in-grammar, no backoff
+    tables = read_text_fst(str(lm))
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=4, n_best=4, max_symbols=4,
+                                 lm_scale=0.3, max_fst_states=4),
+                      fst_tables=tables.device_arrays(), fst_start=tables.start)
+    for i in range(2):
+        for j in range(4):
+            score = float(out["scores"][i, j])
+            if score <= -1e19:
+                continue
+            l = int(out["lens"][i, j])
+            toks = list(np.asarray(out["tokens"][i, j, :l]))
+            assert 1 not in toks, f"dead-set hyp survived: {toks} @ {score}"
+            assert score < 0.0, f"corrupted score {score} for {toks}"
