@@ -166,7 +166,8 @@ def beam_search(
     if is_rnn:
         zero_state = (jnp.zeros((layers, b * k, hid), fdt),
                       jnp.zeros((layers, b * k, hid), fdt))
-        dec_hid0, (h0, c0) = predict_step(jnp.zeros((b * k,), jnp.int32), zero_state)
+        dec_hid0, (h0, c0) = predict_step(
+            jnp.full((b * k,), cfg.blank, jnp.int32), zero_state)
     else:
         # tiny unused placeholder state (not gathered in the loop)
         h0 = c0 = jnp.zeros((1, b * k, 1), fdt)
@@ -210,6 +211,19 @@ def beam_search(
 
     def cond(st: _BeamState):
         live_best = jnp.max(st.scores, axis=1)
+        if use_lm and cfg.lm_scale > 0 and cfg.nonblk_reward > 0:
+            # admissibility under positive per-emission LM rewards: with
+            # nonblk_reward > 0 a live beam's eventual finished total can
+            # EXCEED its model-only score (each future emission may add up
+            # to lm_scale*(reward - arc_cost) > 0), so comparing model-only
+            # live scores to LM-augmented finished scores would stop the
+            # search before a strictly better hypothesis finishes.  Credit
+            # the optimistic bound: prefix LM score plus reward for every
+            # remaining emission slot.  With reward <= 0 (the default) all
+            # LM contributions are <= 0 and the plain bound is admissible.
+            slack = cfg.nonblk_reward * jnp.maximum(um - st.lens, 0)
+            live_best = jnp.max(
+                st.scores + cfg.lm_scale * (st.lm_scores + slack), axis=1)
         fin_worst = st.fin_scores[:, n - 1]
         undecided = live_best > fin_worst
         return (st.step < max_steps) & jnp.any(undecided)

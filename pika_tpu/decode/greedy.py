@@ -29,6 +29,7 @@ def greedy_decode(
     enc_lens: jnp.ndarray,
     max_symbols: int = 200,
     mm_dtype=None,
+    blank: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch given encoder output.
 
@@ -67,12 +68,13 @@ def greedy_decode(
     ax_all, gx_all = model.apply(variables, enc_out,
                                  method=Transducer.joint_enc_factors)
 
-    # init: prediction net consumed SOS (= blank 0), like blk_sos init
+    # init: prediction net consumed SOS (= blank), like blk_sos init
     # (decoder/transducer_decoder.py:103,116-121)
     if is_rnn:
         zero_state = (jnp.zeros((layers, b, hid), fdt),
                       jnp.zeros((layers, b, hid), fdt))
-        dec_hid0, state0 = predict_step(jnp.zeros((b,), jnp.int32), zero_state)
+        dec_hid0, state0 = predict_step(
+            jnp.full((b,), blank, jnp.int32), zero_state)
     else:
         state0 = (jnp.zeros((layers, b, hid), fdt),
                   jnp.zeros((layers, b, hid), fdt))
@@ -95,7 +97,7 @@ def greedy_decode(
                                     dec_ay, dec_gy)
         tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
         full = hyp_len >= max_symbols
-        is_blank = (tok == 0) | done | full
+        is_blank = (tok == blank) | done | full
         # advance time on blank
         t_idx = jnp.where(is_blank, t_idx + 1, t_idx)
         done = done | (t_idx >= enc_lens)
@@ -145,9 +147,11 @@ def greedy_decode(
 
 
 def greedy_decode_waveforms(model, variables, featurizer, wavs, wav_lens,
-                            max_symbols: int = 200, mm_dtype=None):
+                            max_symbols: int = 200, mm_dtype=None,
+                            blank: int = 0):
     """Wav → features → encoder → greedy decode, one jittable function."""
     feats, feat_lens = featurizer(None, wavs, wav_lens, False)
     enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)
     enc_lens = model.apply(variables, feat_lens, method=Transducer.encoder_out_len)
-    return greedy_decode(model, variables, enc, enc_lens, max_symbols, mm_dtype)
+    return greedy_decode(model, variables, enc, enc_lens, max_symbols, mm_dtype,
+                         blank)

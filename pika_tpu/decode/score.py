@@ -39,6 +39,10 @@ def main(argv=None):
     refs = _read(args.ref, args.char)
     hyps = _read(args.hyp, args.char)
     wer, c = score_wer(refs, hyps)
+    if c["unmatched_hyps"]:
+        print(f"WARNING: {c['unmatched_hyps']} hypothesis utterances have "
+              "no reference and were not scored — check id formats",
+              file=sys.stderr)
     print(
         f"%WER {wer * 100:.2f} [ {c['errors']} / {c['words']}, "
         f"{c['ins']} ins, {c['del']} del, {c['sub']} sub ]"

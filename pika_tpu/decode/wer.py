@@ -41,7 +41,11 @@ def score_wer(
     """Corpus WER: (wer, counts{errors, words, ins, del, sub, sent_err}).
 
     Utterances missing from ``hyps`` count as fully deleted, matching
-    compute-wer semantics for empty hypotheses.
+    compute-wer semantics for empty hypotheses.  Hypothesis ids absent
+    from ``refs`` are NOT scored (there is nothing to align them to);
+    they are counted in ``counts["unmatched_hyps"]`` so an id-format
+    drift between label file and decode output cannot silently yield an
+    optimistic all-deletions WER — callers should warn when nonzero.
     """
     total_err = 0
     total_words = 0
@@ -87,4 +91,5 @@ def score_wer(
         "errors": total_err, "words": total_words,
         "ins": ins, "del": dele, "sub": sub,
         "sent_err": sent_err, "sents": len(refs),
+        "unmatched_hyps": sum(1 for u in hyps if u not in refs),
     }

@@ -330,6 +330,14 @@ def main(argv=None):
             for uttid, vec in read_int_vectors(args.ref_labels).items()
             if uttid in hyp_best
         }
+        n_unref = len(hyp_best) - len(refs)
+        if n_unref or not refs:
+            # id drift between --ref_labels and the decoded wav.scp must be
+            # loud: unmatched hypotheses are excluded from scoring, and an
+            # empty intersection would otherwise print a perfect 0% WER
+            print(f"WARNING: {n_unref} decoded utterances have no reference "
+                  f"({len(refs)} of {len(hyp_best)} scored) — check that "
+                  "--ref_labels ids match wav.scp ids", file=sys.stderr)
         wer, counts = score_wer(refs, hyp_best)
         print(f"%WER {wer * 100:.2f} [ {counts['errors']} / {counts['words']}, "
               f"{counts['ins']} ins, {counts['del']} del, {counts['sub']} sub ]",

@@ -299,3 +299,20 @@ def test_stale_bias_fusion_no_dead_set_resurrection(rng, tmp_path):
             toks = list(np.asarray(out["tokens"][i, j, :l]))
             assert 1 not in toks, f"dead-set hyp survived: {toks} @ {score}"
             assert score < 0.0, f"corrupted score {score} for {toks}"
+
+
+def test_greedy_configurable_blank_matches_beam1(rng):
+    # greedy hardcoded blank=0 while BeamConfig.blank is configurable;
+    # with blank=2 both paths must still agree (and neither may emit 2)
+    model, variables, cfg = _tiny_model(rng)
+    enc, lens = _enc(model, variables, rng, b=3, t=6)
+    g_hyps, g_lens = greedy_decode(model, variables, enc, lens,
+                                   max_symbols=10, blank=2)
+    out = beam_search(model, variables, enc, lens,
+                      BeamConfig(beam_size=1, n_best=1, max_symbols=10, blank=2))
+    for i in range(3):
+        gl = int(g_lens[i])
+        assert gl == int(out["lens"][i, 0])
+        np.testing.assert_array_equal(
+            np.asarray(g_hyps[i, :gl]), np.asarray(out["tokens"][i, 0, :gl]))
+        assert not np.any(np.asarray(g_hyps[i, :gl]) == 2)

@@ -65,3 +65,47 @@ def test_score_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "%WER 20.00" in out  # 1 sub over 5 chars
     assert abs(wer - 0.2) < 1e-9
+
+
+def test_rerank_single_direction_and_ids(tmp_path):
+    # fw-only rescoring must not split the score columns in half
+    # (half fw-weighted, half bw-weighted); --las_dirs says what's there
+    nbest = tmp_path / "nbest.txt"
+    nbest.write_text(
+        "ab -1.0 -0.1 -0.1 -0.1\n"       # rnnt -1, fw [-0.1]*3 (L+1 scores)
+        "cd -1.0 -3.0 -3.0 -3.0\n"
+    )
+    out = tmp_path / "best.txt"
+    rerank_file(str(nbest), str(out), nbest=2, las_rescore=True,
+                las_dirs="fw", las_fw_score_scale=1.0, las_bw_score_scale=99.0)
+    # bw scale must be inert: 'ab' (-1 - 0.3)/2 beats 'cd' (-1 - 9)/2
+    assert out.read_text().strip() == "a b"
+    # odd score count with --las_dirs both is an error, not a wrong split
+    with pytest.raises(ValueError, match="odd LAS score count"):
+        rerank_file(str(nbest), str(out), nbest=2, las_rescore=True)
+
+    # token-id hypotheses (decode without --symbols_map) parse as a
+    # leading run of integer fields, not as hyp=parts[0]
+    ids = tmp_path / "nbest_ids.txt"
+    ids.write_text("12 7 93 -4.0\n12 7 -1.0\n")
+    rerank_file(str(ids), str(out), nbest=2, ids=True)
+    # '12 7': -1.0/2 beats '12 7 93': -4.0/3
+    assert out.read_text().strip() == "12 7"
+
+
+def test_rerank_trailing_partial_group_flushed(tmp_path, capsys):
+    nbest = tmp_path / "nbest.txt"
+    nbest.write_text("aa -1.0\nbb -2.0\ncc -0.5\n")  # nbest=2: trailing 1
+    out = tmp_path / "best.txt"
+    rerank_file(str(nbest), str(out), nbest=2)
+    lines = out.read_text().splitlines()
+    assert lines == ["a a", "c c"]  # trailing group not silently dropped
+    assert "trailing group" in capsys.readouterr().err
+
+
+def test_score_cli_warns_on_unmatched_ids(tmp_path, capsys):
+    (tmp_path / "ref.txt").write_text("u1 abc\n")
+    (tmp_path / "hyp.txt").write_text("utt-1 abc\n")  # id drift
+    score_main([str(tmp_path / "ref.txt"), str(tmp_path / "hyp.txt"), "--char"])
+    err = capsys.readouterr().err
+    assert "no reference" in err
