@@ -17,7 +17,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from pika_tpu.data.wavio import read_wav
+from pika_tpu.data.wavio import pcm_to_int16, read_wav
 
 
 class MrkSeqWriter:
@@ -52,7 +52,9 @@ class MrkSeqWriter:
             if np.issubdtype(pcm.dtype, np.floating):
                 pcm = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
             else:
-                pcm = pcm.astype(np.int16)
+                # scale, never modulo-wrap: int32 sources (24/32-bit wavs)
+                # keep their top 16 bits instead of becoming noise
+                pcm = pcm_to_int16(pcm)
         raw = pcm.astype("<i2").tobytes()
         self._seq.write(raw)
         self._mrk.write(f"{uttid} {self._offset} {len(raw)}\n")

@@ -58,11 +58,19 @@ def read_kaldi_object(f) -> np.ndarray:
         if tok == "CM":
             raise NotImplementedError("compressed Kaldi matrices not supported")
         raise ValueError(f"unknown Kaldi binary object {tok!r}")
-    # text object: read until the closing bracket
+    # text object: read until the closing bracket.  The 2-byte binary
+    # probe may already contain the opening '[' — count brackets in it
+    # too, or the depth match runs to EOF and swallows later records.
     text = start.decode(errors="replace")
     depth = 0
     started = False
-    while True:
+    for ch in text:
+        if ch == "[":
+            depth += 1
+            started = True
+        elif ch == "]":
+            depth -= 1
+    while not (started and depth == 0):
         c = f.read(1)
         if not c:
             break
@@ -73,8 +81,6 @@ def read_kaldi_object(f) -> np.ndarray:
             started = True
         elif ch == "]":
             depth -= 1
-            if started and depth == 0:
-                break
     rows = [r for r in text.replace("[", " ").replace("]", " ").splitlines() if r.strip()]
     return np.array([[float(x) for x in r.split()] for r in rows], dtype=np.float32)
 
@@ -88,8 +94,18 @@ def iter_matrix_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
                 c = f.read(1)
                 if not c:
                     return
-                if c == b" ":
-                    break
+                if c in b" \t":
+                    if uttid:
+                        break
+                    continue  # pad between records
+                if c in b"\r\n":
+                    # text objects end with ']\n'; the newline belongs to
+                    # the previous record, not the next uttid
+                    if uttid:
+                        raise ValueError(
+                            f"malformed ark {path}: uttid {uttid!r} not "
+                            "followed by a space")
+                    continue
                 uttid += c
             yield uttid.decode(), read_kaldi_object(f)
 

@@ -57,7 +57,7 @@ def _cmd_cmvn(args):
     from pika_tpu.data.archive import MrkSeqReader
     from pika_tpu.data.cmvn import CmvnStats
     from pika_tpu.data.scp import read_data_lst
-    from pika_tpu.features.fbank import FbankConfig, fbank_numpy
+    from pika_tpu.features.fbank import FbankConfig, fbank_numpy_batch
 
     if args.feat_config:
         fb = FbankConfig.from_conf(args.feat_config)
@@ -69,9 +69,16 @@ def _cmd_cmvn(args):
     dither_rng = np.random.default_rng(args.seed + 1) if fb.dither else None
     stats = CmvnStats(fb.num_mel_bins)
     speed_rates = [0.9, 1.0, 1.1]
-    triplets = read_data_lst(args.data_lst) or [
-        tuple(line.split()[:2]) + ("",) for line in open(args.data_lst)
-    ]
+    triplets = read_data_lst(args.data_lst)
+    if not triplets:
+        # 2-column fallback (`mrk seq` per line): skip blank/short lines
+        # instead of crashing on entry[1], and close the handle
+        with open(args.data_lst) as lst_f:
+            triplets = [
+                (parts[0], parts[1], "")
+                for parts in (line.split() for line in lst_f)
+                if len(parts) >= 2
+            ]
     for entry in triplets:
         mrk_fn, seq_fn = entry[0], entry[1]
         with MrkSeqReader(mrk_fn, seq_fn) as reader:
@@ -81,11 +88,12 @@ def _cmd_cmvn(args):
                 if not args.no_normalize:
                     x = seg.normalize(x, float(rng.uniform(-55, -10)))
                 x16 = seg.from_float32(x, "int16").astype(np.float64)
+                # bit-identical vectorized path (fbank_numpy is the
+                # per-frame test oracle; corpus-scale prep uses the
+                # batched twin — see fbank_numpy_batch's docstring)
+                feats = fbank_numpy_batch(x16, fb, dither_rng)
                 if args.cmn:
-                    feats = fbank_numpy(x16, fb, dither_rng)
                     feats = feats - feats.mean(axis=0)
-                else:
-                    feats = fbank_numpy(x16, fb, dither_rng)
                 stats.accumulate(feats)
     stats.write(args.cmvn_stats)
 

@@ -60,7 +60,11 @@ def _parse_riff(data: bytes) -> Tuple[np.ndarray, int]:
                         | (raw[:, 1].astype(np.int32) << 8)
                         | (raw[:, 2].astype(np.int32) << 16)
                     )
-                    arr = (arr << 8) >> 8  # sign-extend
+                    # left-align to full int32 scale (sign lands at bit 31),
+                    # so int32 samples are uniformly full-scale regardless of
+                    # source depth — to_float32 / int16 conversion then only
+                    # need the container dtype, like the 8-bit branch above
+                    arr = arr << 8
                 else:
                     raise ValueError(f"unsupported PCM bit depth {bits}")
             elif audio_format == _IEEE_FLOAT:
@@ -81,9 +85,12 @@ def _parse_riff(data: bytes) -> Tuple[np.ndarray, int]:
 def read_wav(source: Union[str, bytes, os.PathLike, io.IOBase]) -> Tuple[np.ndarray, int]:
     """Read a WAV file and return ``(samples, sample_rate)``.
 
-    ``samples`` keeps the on-disk integer dtype for PCM (int16/int32) so
-    that the mrk/seq archiver can write bit-exact int16, mirroring Kaldi's
-    wave representation (reference: utils/wav_to_seq.py:35-38).
+    ``samples`` keeps the on-disk integer container dtype for PCM
+    (int16/int32) so that the mrk/seq archiver can write bit-exact int16,
+    mirroring Kaldi's wave representation (reference:
+    utils/wav_to_seq.py:35-38).  8- and 24-bit sources are left-aligned to
+    full int16/int32 scale, so integer samples are always full-scale for
+    their dtype (``pcm_to_int16`` / ``segment.to_float32`` rely on this).
 
     ``source`` may be a path, raw bytes, a file object, or a Kaldi-style
     pipe command ending in ``|``.
@@ -101,6 +108,23 @@ def read_wav(source: Union[str, bytes, os.PathLike, io.IOBase]) -> Tuple[np.ndar
         return _parse_riff(f.read())
 
 
+def pcm_to_int16(samples: np.ndarray) -> np.ndarray:
+    """Convert integer PCM to int16 by scale, never by modulo wrap.
+
+    int16 passes through; full-scale int32 (what read_wav returns for
+    24/32-bit sources) shifts down to the top 16 bits.  A bare
+    ``astype(np.int16)`` would keep the LOW 16 bits — full-scale noise —
+    so any other integer dtype is rejected loudly.
+    """
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        return samples
+    if samples.dtype == np.int32:
+        return (samples >> 16).astype(np.int16)
+    raise TypeError(
+        f"integer PCM must be int16 or full-scale int32, got {samples.dtype}")
+
+
 def write_wav(path: Union[str, os.PathLike], samples: np.ndarray, sample_rate: int) -> None:
     """Write mono/multi-channel samples as a PCM16 or float32 WAV."""
     samples = np.asarray(samples)
@@ -112,7 +136,7 @@ def write_wav(path: Union[str, os.PathLike], samples: np.ndarray, sample_rate: i
         body = samples.astype("<f4").tobytes()
         audio_format, bits = _IEEE_FLOAT, 32
     else:
-        body = samples.astype("<i2").tobytes()
+        body = pcm_to_int16(samples).astype("<i2").tobytes()
         audio_format, bits = _PCM, 16
     byte_rate = sample_rate * channels * bits // 8
     block_align = channels * bits // 8

@@ -240,6 +240,51 @@ def fbank_numpy(samples: np.ndarray, config: FbankConfig, dither_rng: Optional[n
     return out.astype(np.float32)
 
 
+def fbank_numpy_batch(samples: np.ndarray, config: FbankConfig,
+                      dither_rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Vectorized float64 fbank, bit-identical to ``fbank_numpy``.
+
+    Same math as the per-frame oracle above but with the frame loop
+    vectorized (the host CMVN prep over a whole corpus was paying one
+    Python rfft per frame).  Every vectorized step is bitwise-equal to
+    the loop version on this platform — batched ``standard_normal``
+    draws the same stream as sequential per-frame draws, and numpy's
+    row-wise mean/rfft match the 1-D calls — EXCEPT the final mel
+    projection, where dgemm and dgemv order sums differently; that one
+    stays a per-frame dgemv.  Pinned by
+    ``test_features.py::test_fbank_numpy_batch_bitwise``.
+    """
+    samples = np.asarray(samples, dtype=np.float64)
+    n_frames = num_frames(len(samples), config)
+    flen, fshift = config.frame_length, config.frame_shift
+    if n_frames <= 0:
+        return np.zeros((0, config.num_mel_bins), dtype=np.float32)
+    window = feature_window(config)
+    mel = mel_banks_matrix(config)
+    padded = config.padded_window_size
+    idx = np.arange(n_frames)[:, None] * fshift + np.arange(flen)[None, :]
+    frames = samples[idx]  # (n_frames, flen), rows contiguous
+    if config.dither != 0.0 and dither_rng is not None:
+        frames += config.dither * dither_rng.standard_normal((n_frames, flen))
+    if config.remove_dc_offset:
+        frames -= frames.mean(axis=1, keepdims=True)
+    if config.preemphasis_coefficient != 0.0:
+        c = config.preemphasis_coefficient
+        first = frames[:, 0] - c * frames[:, 0]
+        frames[:, 1:] -= c * frames[:, :-1]
+        frames[:, 0] = first
+    frames *= window
+    spec = np.fft.rfft(frames, n=padded, axis=1)
+    power = np.abs(spec) ** 2 if config.use_power else np.abs(spec)
+    half = power[:, : padded // 2]
+    out = np.empty((n_frames, config.num_mel_bins), dtype=np.float64)
+    for t in range(n_frames):  # dgemv per frame: bitwise parity with the oracle
+        out[t] = half[t] @ mel
+    if config.use_log_fbank:
+        out = np.log(np.maximum(out, _FLT_EPSILON))
+    return out.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # JAX batched implementation.
 # ---------------------------------------------------------------------------

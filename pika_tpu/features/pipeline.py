@@ -97,8 +97,10 @@ def spec_augment(
     k1, k2, k3, k4 = jax.random.split(key, 4)
     freq_span = jax.random.randint(k1, (), 0, max_freq_span + 1)
     time_span = jax.random.randint(k2, (), 0, max_time_span + 1)
-    freq_start = jax.random.randint(k3, (), 0, jnp.maximum(1, d - freq_span))
-    time_start = jax.random.randint(k4, (), 0, jnp.maximum(1, t - time_span))
+    # valid starts are [0, dim - span] inclusive (randint's hi is exclusive);
+    # without the +1 the last frame/bin could never be masked
+    freq_start = jax.random.randint(k3, (), 0, jnp.maximum(1, d - freq_span + 1))
+    time_start = jax.random.randint(k4, (), 0, jnp.maximum(1, t - time_span + 1))
     freq_idx = jnp.arange(d)
     time_idx = jnp.arange(t)
     freq_mask = (freq_idx >= freq_start) & (freq_idx < freq_start + freq_span)

@@ -149,3 +149,21 @@ def test_spec_augment_masks():
     zero_cols = np.where((out[0] == 0).all(axis=0))[0]
     if len(zero_cols):
         assert (np.diff(zero_cols) == 1).all()  # contiguous span
+
+
+def test_fbank_numpy_batch_bitwise():
+    # the vectorized CMVN-prep path must be BITWISE equal to the
+    # per-frame oracle, including the dither RNG stream
+    from pika_tpu.features.fbank import FbankConfig, fbank_numpy, fbank_numpy_batch
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(16000 * 2) * 8000).astype(np.float64)
+    for dither in (0.0, 1.0):
+        cfg = FbankConfig(sample_frequency=16000, window_type="hamming",
+                          dither=dither, low_freq=40.0, high_freq=-200.0,
+                          num_mel_bins=40)
+        a = fbank_numpy(x, cfg, np.random.default_rng(11) if dither else None)
+        b = fbank_numpy_batch(x, cfg, np.random.default_rng(11) if dither else None)
+        np.testing.assert_array_equal(a, b)
+    # empty input
+    assert fbank_numpy_batch(np.zeros(10), cfg, None).shape == (0, 40)

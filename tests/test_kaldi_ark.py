@@ -25,3 +25,54 @@ def test_binary_ark_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(read_matrix_at(*ptrs["utt2"]), items[2][1])
     got2 = dict(iter_matrices_scp(scp))
     np.testing.assert_array_equal(got2["utt3"], items[3][1])
+
+
+def test_text_ark_multi_record(tmp_path):
+    # the binary probe eats the first 2 bytes of a text object; bracket
+    # matching must count them or every record after the first is swallowed
+    from pika_tpu.data.kaldi_ark import iter_matrix_ark
+
+    ark = tmp_path / "feats.txt.ark"
+    ark.write_text(
+        "utt1  [\n  1 2 3\n  4 5 6 ]\n"
+        "utt2  [\n  7 8 9 ]\n"
+    )
+    got = list(iter_matrix_ark(str(ark)))
+    assert [u for u, _ in got] == ["utt1", "utt2"]
+    np.testing.assert_allclose(got[0][1], [[1, 2, 3], [4, 5, 6]])
+    np.testing.assert_allclose(got[1][1], [[7, 8, 9]])
+
+
+def test_pcm_int32_scales_not_wraps(tmp_path):
+    # 24/32-bit PCM reaches the archiver as full-scale int32; conversion
+    # must keep the top 16 bits, not the low 16 (modulo wrap = noise)
+    from pika_tpu.data.wavio import pcm_to_int16, read_wav, write_wav
+
+    x32 = np.array([1 << 30, -(1 << 30), 0x123456 << 8], np.int32)
+    np.testing.assert_array_equal(pcm_to_int16(x32), [16384, -16384, 0x1234])
+    with pytest.raises(TypeError):
+        pcm_to_int16(x32.astype(np.int64))
+    # write_wav on int32 now round-trips at 16-bit scale
+    write_wav(tmp_path / "x.wav", x32, 16000)
+    back, rate = read_wav(str(tmp_path / "x.wav"))
+    assert rate == 16000 and back.dtype == np.int16
+    np.testing.assert_array_equal(back, [16384, -16384, 0x1234])
+
+
+def test_read_wav_24bit_left_aligned(tmp_path):
+    # hand-build a 24-bit PCM RIFF: value 0x123456 must read back
+    # left-aligned to full int32 scale (0x12345600)
+    import struct
+
+    frames = [0x123456, 0x800000, 0x7FFFFF]  # +, most-negative, most-positive
+    body = b"".join(struct.pack("<I", v)[:3] for v in frames)
+    with open(tmp_path / "a24.wav", "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                      16000 * 3, 3, 24))
+        f.write(b"data" + struct.pack("<I", len(body)) + body)
+    from pika_tpu.data.wavio import read_wav
+    pcm, rate = read_wav(str(tmp_path / "a24.wav"))
+    assert pcm.dtype == np.int32
+    np.testing.assert_array_equal(
+        pcm, np.array([0x12345600, -0x80000000, 0x7FFFFF00], np.int64).astype(np.int32))
