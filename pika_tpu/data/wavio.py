@@ -126,7 +126,14 @@ def pcm_to_int16(samples: np.ndarray) -> np.ndarray:
 
 
 def write_wav(path: Union[str, os.PathLike], samples: np.ndarray, sample_rate: int) -> None:
-    """Write mono/multi-channel samples as a PCM16 or float32 WAV."""
+    """Write mono/multi-channel samples as a PCM16 or float32 WAV.
+
+    Integer input follows the ``pcm_to_int16`` convention: int16 passes
+    through bit-exact; int32 is assumed FULL-SCALE (as read_wav returns
+    for 24/32-bit sources) and is shifted down to its top 16 bits.  An
+    int32 array merely *holding* 16-bit-range samples would come out
+    ~65536x attenuated — that almost certainly indicates a dtype mistake,
+    so it is rejected loudly (ADVICE r3)."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         channels = 1
@@ -136,6 +143,14 @@ def write_wav(path: Union[str, os.PathLike], samples: np.ndarray, sample_rate: i
         body = samples.astype("<f4").tobytes()
         audio_format, bits = _IEEE_FLOAT, 32
     else:
+        if samples.dtype == np.int32 and samples.size:
+            peak = int(np.abs(samples).max())
+            if 0 < peak <= 0x7FFF:
+                raise ValueError(
+                    "write_wav: int32 input peaks at "
+                    f"{peak} (<= int16 full scale) — int32 is treated as "
+                    "full-scale PCM and shifted >>16, which would write "
+                    "near-silence.  Cast 16-bit-range samples to int16.")
         body = pcm_to_int16(samples).astype("<i2").tobytes()
         audio_format, bits = _PCM, 16
     byte_rate = sample_rate * channels * bits // 8

@@ -209,21 +209,46 @@ def beam_search(
         fin_align_lens=jnp.zeros((b, n), jnp.int32),
     )
 
+    if use_lm and cfg.lm_scale > 0:
+        # Admissible stop bound under ARBITRARY LM contributions.  A live
+        # beam's eventual finished total can EXCEED its model-only score
+        # whenever an emission can LOWER the LM cost: nonblk_reward > 0, or
+        # negative arc/backoff/final weights (read_text_fst accepts any
+        # weights; ARPA-compiled automata are always >= 0).  Credit each
+        # remaining emission slot with the largest possible per-emission
+        # gain, plus the largest possible final-weight gain, computed once
+        # from the tables; with nonneg weights and reward 0 both terms are
+        # 0 and the bound reduces to prefix-LM-augmented scores (itself
+        # <= model-only scores, so at least as tight as the plain bound).
+        def _min0(x):
+            return jnp.minimum(jnp.min(x), 0.0) if x.size else jnp.float32(0.0)
+
+        _dw = fst_tables["disambig_weight"]
+        _fw = fst_tables["final_weight"]
+        _min_bw = _min0(fst_tables["backoff_weight"])
+        # per-emission cost increment >= min0(arc) + levels*min0(backoff)
+        #                                + min0(finite disambig) - reward
+        _gain_per_emit = cfg.nonblk_reward - (
+            _min0(fst_tables["arc_weight"])
+            + cfg.fst_backoff_levels * _min_bw
+            + _min0(jnp.where(_dw < 1e29, _dw, 0.0))
+        )
+        # reaching a final state adds (backoff chain + final weight), which
+        # can only RAISE the LM score by at most this much
+        _final_gain = jnp.maximum(
+            -(_min0(jnp.where(_fw < 1e29, _fw, 0.0))
+              + cfg.fst_backoff_levels * _min_bw), 0.0)
+    else:
+        _gain_per_emit = _final_gain = None
+
     def cond(st: _BeamState):
-        live_best = jnp.max(st.scores, axis=1)
-        if use_lm and cfg.lm_scale > 0 and cfg.nonblk_reward > 0:
-            # admissibility under positive per-emission LM rewards: with
-            # nonblk_reward > 0 a live beam's eventual finished total can
-            # EXCEED its model-only score (each future emission may add up
-            # to lm_scale*(reward - arc_cost) > 0), so comparing model-only
-            # live scores to LM-augmented finished scores would stop the
-            # search before a strictly better hypothesis finishes.  Credit
-            # the optimistic bound: prefix LM score plus reward for every
-            # remaining emission slot.  With reward <= 0 (the default) all
-            # LM contributions are <= 0 and the plain bound is admissible.
-            slack = cfg.nonblk_reward * jnp.maximum(um - st.lens, 0)
+        if use_lm and cfg.lm_scale > 0:
+            slack = _gain_per_emit * jnp.maximum(um - st.lens, 0)
             live_best = jnp.max(
-                st.scores + cfg.lm_scale * (st.lm_scores + slack), axis=1)
+                st.scores + cfg.lm_scale * (st.lm_scores + slack + _final_gain),
+                axis=1)
+        else:
+            live_best = jnp.max(st.scores, axis=1)
         fin_worst = st.fin_scores[:, n - 1]
         undecided = live_best > fin_worst
         return (st.step < max_steps) & jnp.any(undecided)

@@ -51,6 +51,11 @@ class FstTables:
     disambig_next: np.ndarray
     disambig_weight: np.ndarray
     max_backoff_levels: int = 6
+    # the original disambig ilabels (column j of disambig_next/weight holds
+    # arcs with ilabel disambig_ids[j]) and the backoff ilabel — retained
+    # so write_openfst_binary can serialize them back out unchanged
+    disambig_ids: Tuple[int, ...] = ()
+    backoff_id: int = 0
 
     @property
     def n_states(self) -> int:
@@ -130,6 +135,8 @@ def _build_tables(
         disambig_next=dis_next,
         disambig_weight=dis_weight,
         max_backoff_levels=max_backoff_levels,
+        disambig_ids=tuple(disambig_ids),
+        backoff_id=backoff_id,
     )
 
 
@@ -271,11 +278,34 @@ def read_openfst_binary(
                          backoff_id, disambig_ids)
 
 
-def write_openfst_binary(path: str, tables: FstTables) -> None:
+def write_openfst_binary(
+    path: str,
+    tables: FstTables,
+    isymbols: Optional[Dict[str, int]] = None,
+    osymbols: Optional[Dict[str, int]] = None,
+    backoff_id: Optional[int] = None,
+) -> None:
     """Write dense tables back out as a binary VectorFst<StdArc> —
-    round-trip/interchange helper."""
+    round-trip/interchange helper.  Backoff arcs are re-emitted with
+    ``backoff_id`` and disambig arcs with their original ilabels
+    (``tables.disambig_ids``).  ``isymbols``/``osymbols`` (symbol → id)
+    embed OpenFst SymbolTables after the header, setting header flags
+    0x1/0x2 — the layout ``fstcompile --keep_isymbols/--keep_osymbols``
+    produces and the reference ecosystem's LM FSTs commonly carry
+    (decode_transducer.py:83-86 reads them transparently).
+    ``backoff_id`` defaults to the id the tables were read with
+    (``tables.backoff_id``) so a read→write round trip relabels nothing."""
     import struct as _struct
 
+    if backoff_id is None:
+        backoff_id = tables.backoff_id
+    uncovered = np.asarray(tables.disambig_next[:, len(tables.disambig_ids):])
+    if (uncovered >= 0).any():
+        raise ValueError(
+            "FstTables has disambig arcs in columns beyond disambig_ids "
+            f"({len(tables.disambig_ids)} ids, "
+            f"{tables.disambig_next.shape[1]} columns) — their original "
+            "ilabels are unknown, so writing would silently drop them")
     n = tables.n_states
     with open(path, "wb") as f:
         def w_i32(v):
@@ -285,14 +315,29 @@ def write_openfst_binary(path: str, tables: FstTables) -> None:
             f.write(_struct.pack("<q", v))
 
         def w_str(v):
-            w_i32(len(v))
-            f.write(v.encode())
+            data = v.encode("utf-8")
+            w_i32(len(data))  # BYTE count: multi-byte symbols ("▁a") would
+            f.write(data)     # corrupt the stream under len(str)
+
+        def w_symbol_table(name, mapping):
+            # mirror of skip_symbol_table: magic, name, available_key,
+            # size, then size x (symbol string, i64 key)
+            w_i32(_SYMBOL_TABLE_MAGIC)
+            w_str(name)
+            items = sorted(mapping.items(), key=lambda kv: kv[1])
+            w_i64((items[-1][1] + 1) if items else 1)  # available_key
+            w_i64(len(items))
+            for sym, key in items:
+                w_str(sym)
+                w_i64(key)
 
         w_i32(_OPENFST_MAGIC)
         w_str("vector")
         w_str("standard")
         w_i32(2)          # version
-        w_i32(0)          # flags: no embedded isymbols/osymbols tables
+        flags = (0x1 if isymbols is not None else 0) | (
+            0x2 if osymbols is not None else 0)
+        w_i32(flags)
         f.write(_struct.pack("<Q", 0))  # properties
         w_i64(tables.start)
         w_i64(n)
@@ -304,16 +349,21 @@ def write_openfst_binary(path: str, tables: FstTables) -> None:
                 for i in range(int(tables.arc_start[s_id]), int(tables.arc_start[s_id + 1]))
             ]
             if tables.backoff_next[s_id] >= 0:
-                lst.append((0, float(tables.backoff_weight[s_id]), int(tables.backoff_next[s_id])))
-                lst.sort()
-            if (tables.disambig_next[s_id] >= 0).any():
-                raise NotImplementedError(
-                    "writing disambig arcs requires their original ids, "
-                    "which FstTables does not retain"
-                )
+                lst.append((backoff_id, float(tables.backoff_weight[s_id]),
+                            int(tables.backoff_next[s_id])))
+            for j, dis_id in enumerate(tables.disambig_ids):
+                if tables.disambig_next[s_id, j] >= 0:
+                    lst.append((int(dis_id),
+                                float(tables.disambig_weight[s_id, j]),
+                                int(tables.disambig_next[s_id, j])))
+            lst.sort()
             state_arcs.append(lst)
             total_arcs += len(lst)
         w_i64(total_arcs)
+        if isymbols is not None:
+            w_symbol_table("isymbols", isymbols)
+        if osymbols is not None:
+            w_symbol_table("osymbols", osymbols)
         for s_id in range(n):
             fw = float(tables.final_weight[s_id])
             f.write(_struct.pack("<f", fw if fw < INF else float("inf")))

@@ -26,14 +26,30 @@ import sys
 _INT = re.compile(r"^-?\d+$")
 
 
-def _split_line(parts, ids: bool, empty_hyp_len: int):
-    """Return (hyp_tokens, score_fields).  Token-id hypotheses are a
-    leading run of pure-integer fields (scores are ``str(float)`` and
-    always carry '.', 'e', 'inf' or 'nan', never a bare integer)."""
+def _split_line(parts, ids: bool, empty_hyp_len: int, ndirs: int, where: str):
+    """Return (hyp_tokens, score_fields).
+
+    Token-id mode: the line is ``tok*ntok rnnt_score`` plus, per LAS
+    direction, ``ntok+1`` per-token scores — so the field count alone
+    determines ntok: ``F = ntok + 1 + ndirs*(ntok+1)``.  Deriving ntok
+    from F (instead of greedily eating leading integer-looking fields) is
+    robust to scores serialized as bare integers by other writers, and
+    any inconsistency is raised, not silently mis-columned (ADVICE r3)."""
     if ids:
-        ntok = 0
-        while ntok < len(parts) and _INT.match(parts[ntok]):
-            ntok += 1
+        denom = 1 + ndirs
+        rem = len(parts) - 1 - ndirs
+        if rem < 0 or rem % denom:
+            raise ValueError(
+                f"{where}: {len(parts)} fields is not consistent with "
+                f"'ntok ids + 1 rnnt score + {ndirs} x (ntok+1) LAS "
+                f"scores' — wrong --las_dirs / --las_rescore for this file?")
+        ntok = rem // denom
+        bad = [p for p in parts[:ntok] if not _INT.match(p)]
+        if bad:
+            raise ValueError(
+                f"{where}: expected {ntok} integer token ids by field "
+                f"count but found non-integer field(s) {bad[:3]} — "
+                f"wrong --las_dirs / --las_rescore for this file?")
         return parts[:ntok], parts[ntok:]
     if len(parts) <= empty_hyp_len:  # scores-only line: empty hypothesis
         return [], parts
@@ -65,7 +81,8 @@ def rerank_file(
         for line in in_f:
             lineno += 1
             parts = line.split()
-            toks, rest = _split_line(parts, ids, empty_hyp_len)
+            toks, rest = _split_line(parts, ids, empty_hyp_len, ndirs,
+                                     f"{in_hyp}:{lineno}")
             if not rest:
                 raise ValueError(f"{in_hyp}:{lineno}: no score fields")
             score = rnnt_score_scale * float(rest[0])

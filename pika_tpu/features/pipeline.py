@@ -98,7 +98,11 @@ def spec_augment(
     freq_span = jax.random.randint(k1, (), 0, max_freq_span + 1)
     time_span = jax.random.randint(k2, (), 0, max_time_span + 1)
     # valid starts are [0, dim - span] inclusive (randint's hi is exclusive);
-    # without the +1 the last frame/bin could never be masked
+    # without the +1 the last frame/bin could never be masked.
+    # INTENTIONAL deviation from the reference: its np.random.randint(0,
+    # dim - span) excludes dim-span (so the final bin/frame is never
+    # masked) and crashes when span == dim — this fixes the off-by-one;
+    # do not "restore parity" here (ADVICE r3)
     freq_start = jax.random.randint(k3, (), 0, jnp.maximum(1, d - freq_span + 1))
     time_start = jax.random.randint(k4, (), 0, jnp.maximum(1, t - time_span + 1))
     freq_idx = jnp.arange(d)

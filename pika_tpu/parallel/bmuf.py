@@ -196,8 +196,20 @@ def make_bmuf_round(
 
     import optax.tree_utils as otu
 
+    def _varying(tree):
+        # replicated inputs enter the shard_map unvarying; the local scan
+        # makes them device-varying (per-device batches/keys), so the scan
+        # carry must start varying for the vma types to match
+        return jax.tree.map(lambda x: jax.lax.pcast(x, (axis,), to="varying"), tree)
+
     def round_fn(bmuf_state: BMUFState, local_extra, batches, key, step_count=0):
         step_count = jnp.asarray(step_count, jnp.int32)
+        if jax.tree_util.tree_leaves(local_extra) and not reduce_extra:
+            raise ValueError(
+                "make_bmuf_round: a non-None local_extra without reduce_extra "
+                "would return per-device state through a replicated out_spec; "
+                "pass reduce_extra=True (floats pmean'd, ints pmax'd) or None"
+            )
 
         def device_fn(bmuf_state, local_extra, batches, key, step_count):
             my_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -221,7 +233,10 @@ def make_bmuf_round(
                 return (params, opt_state, extra, k), metrics
 
             (params, opt_state, local_extra2, _), metrics = jax.lax.scan(
-                one, (params0, opt_state, local_extra, my_key), batches
+                one,
+                (_varying(params0), _varying(opt_state), _varying(local_extra),
+                 my_key),
+                batches,
             )
 
             delta = jax.tree.map(lambda g, l: g - l, params0, params)
@@ -242,14 +257,30 @@ def make_bmuf_round(
                 lambda new, old: jnp.where(ok, new, old), new_state, bmuf_state
             )
             if reduce_extra and local_extra2 is not None:
+                # floats (running stats) are averaged; integer leaves
+                # (counters, identical on every replica) ride pmax so the
+                # result is provably replicated (vma-unvarying) too
                 local_extra2 = jax.tree.map(
                     lambda x: jax.lax.pmean(x, axis_name=axis)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                    else jax.lax.pmax(x, axis_name=axis),
                     local_extra2,
                 )
             metrics = jax.tree.map(partial(jax.lax.pmean, axis_name=axis), metrics)
             return new_state, local_extra2, ok, metrics
 
+        # check_vma=False (documented exemption, VERDICT r3 item 8): THIS
+        # function's own vma types are correct — the local-scan carry is
+        # pcast-varying above, and every P()-spec output is provably
+        # replicated (post-pmean/pmax/psum); verified against
+        # check_vma=True.  What cannot pass is the MODEL code the local
+        # step closes over: internal lax.scan/while_loop carries init from
+        # unvarying constants (e.g. the LSTM's h/c zeros, models/lstm.py)
+        # and would each need a pcast naming THIS mesh axis — threading
+        # axis names through model code that also runs outside shard_map.
+        # The check is a static type validation with no runtime effect;
+        # correctness of the sync itself is pinned by test_parallel's
+        # formula tests and test_multihost's two-process parity.
         return shard_map(
             device_fn,
             mesh=mesh,

@@ -163,6 +163,14 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
                         help="fetch + write per-epoch checkpoints in a "
                              "background thread (keep off when D2H contends "
                              "with compute, e.g. tunneled transports)")
+    parser.add_argument("--save_interval", type=int, default=1,
+                        help="save checkpoints every N epochs (the final "
+                             "epoch always saves).  Parameters only leave "
+                             "the device on saving epochs, so >1 amortizes "
+                             "the full-state D2H fetch on slow transports; "
+                             "1 matches the reference's per-epoch "
+                             "torch.save (train_transducer_bmuf_otfaug."
+                             "py:363-366)")
     parser.add_argument("--steps_per_dispatch", type=int, default=4,
                         help="sync mode: train steps fused into one XLA "
                              "dispatch + one H2D transfer (amortizes "

@@ -113,6 +113,9 @@ def main(argv=None):
     if args.fst_lm:
         disambig = [int(x) for x in args.disambig_ids.split(",") if x]
         if args.fst_lm.endswith(".arpa"):
+            if not args.symbols_map:
+                sys.exit("--fst_lm with an ARPA file requires --symbols_map "
+                         "(token symbol table) to map LM words to ids")
             sym = read_symbol_table(args.symbols_map)
             tables = compile_arpa(args.fst_lm, {s: i + 1 for i, s in sym.items()},
                                   backoff_id=args.backoff_id)

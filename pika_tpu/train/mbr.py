@@ -48,6 +48,7 @@ def mbr_losses(
     loss_chunk: int = 16,
     loss_backend: str = "auto",
     batch_stats=None,
+    blank: int = 0,
 ):
     """Returns (total_objective, (metrics, new_batch_stats)) for one batch
     given decoded N-best; differentiable w.r.t. ``params``.
@@ -64,7 +65,6 @@ def mbr_losses(
     train = dropout_key is not None
     rngs = {"dropout": dropout_key} if train else None
     b, k, um = nbest["tokens"].shape
-    blank = 0
 
     mutable = ["batch_stats"] if (train and batch_stats is not None) else False
     enc_out = model.apply(variables, feats, feat_lens, train,
@@ -126,6 +126,10 @@ def mbr_losses(
     lp = jax.nn.log_softmax(sm_scale * logits, axis=-1)         # (BK, S, V)
     tok_lp = jnp.take_along_axis(lp, tok[..., None], axis=-1)[..., 0]
     w = jnp.repeat(seq_grad.reshape(b * k), s_max).reshape(b * k, s_max)
+    # blank-step weights scale by the PADDED batch width, exactly like the
+    # reference: its `mbr_grad[:, :, blk] /= float(T)` uses T = x.size(1),
+    # the batch-padded encoder length, not each utterance's own length
+    # (train_transducer_mbr_bmuf_otfaug.py:233-234) — reviewed and kept
     w = jnp.where(is_blank, w / float(t_pad), w)
     w = jnp.where(step_valid, w, 0.0)
     surrogate = (w * tok_lp).sum()
@@ -180,7 +184,7 @@ def make_mbr_step(
                 batch["labels"], batch["label_lens"], nbest,
                 rnnt_scale, sm_scale, dropout_key=kd,
                 loss_chunk=loss_chunk, loss_backend=loss_backend,
-                batch_stats=state.batch_stats,
+                batch_stats=state.batch_stats, blank=beam_cfg.blank,
             )
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(

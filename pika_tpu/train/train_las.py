@@ -181,7 +181,9 @@ def main(argv=None):
             dt = time.perf_counter() - t_epoch
             log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
                         f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
-            save_epoch(epoch, state.params)
+            if ((epoch + 1) % max(args.save_interval, 1) == 0
+                    or epoch == args.num_epochs - 1):
+                save_epoch(epoch, state.params)
     else:
         # BMUF: the reference wraps this trainer in BmufTrainer too
         # (train_las_bmuf_otfaug.py:521).  sampling_prob rides in the batch
@@ -262,7 +264,9 @@ def main(argv=None):
             dt = time.perf_counter() - t_epoch
             log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
                         f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
-            save_epoch(epoch, bstate.params)
+            if ((epoch + 1) % max(args.save_interval, 1) == 0
+                    or epoch == args.num_epochs - 1):
+                save_epoch(epoch, bstate.params)
 
     log_f.write("Training Finished\n")
     log_f.close()

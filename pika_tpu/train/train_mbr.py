@@ -163,9 +163,11 @@ def main(argv=None):
             dt = time.perf_counter() - t_epoch
             log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
                         f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
-            save_bundle(f"{args.output_dir}/model.epoch.{epoch}",
-                        "transducer", model.config, bundle_vars(),
-                        metadata={"epoch": epoch})
+            if ((epoch + 1) % max(args.save_interval, 1) == 0
+                    or epoch == args.num_epochs - 1):
+                save_bundle(f"{args.output_dir}/model.epoch.{epoch}",
+                            "transducer", model.config, bundle_vars(),
+                            metadata={"epoch": epoch})
     else:
         # BMUF: sync_period independent local MBR steps per device, then a
         # block-momentum model update (reference: BmufTrainer around the
@@ -192,6 +194,7 @@ def main(argv=None):
                     args.rnnt_scale, args.sm_scale, dropout_key=kd,
                     loss_chunk=args.loss_chunk,
                     loss_backend=args.loss_backend, batch_stats=stats,
+                    blank=beam_cfg.blank,
                 )
 
             (_, (metrics, new_stats)), grads = jax.value_and_grad(
@@ -257,9 +260,11 @@ def main(argv=None):
             dt = time.perf_counter() - t_epoch
             log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {n_utts} utts, "
                         f"{n_utts / max(dt, 1e-9):.1f} utt/s <===\n")
-            save_bundle(f"{args.output_dir}/model.epoch.{epoch}",
-                        "transducer", model.config, bundle_vars(),
-                        metadata={"epoch": epoch})
+            if ((epoch + 1) % max(args.save_interval, 1) == 0
+                    or epoch == args.num_epochs - 1):
+                save_bundle(f"{args.output_dir}/model.epoch.{epoch}",
+                            "transducer", model.config, bundle_vars(),
+                            metadata={"epoch": epoch})
 
     log_f.write("Training Finished\n")
     log_f.close()

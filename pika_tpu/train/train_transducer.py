@@ -533,10 +533,15 @@ def main(argv=None):
         utt_box[0] = 0
         t_epoch = _time.perf_counter()
         snap = _copy_tree if args.async_save else (lambda x: x)
+        # parameters only leave the device on saving epochs — with
+        # --save_interval > 1 the full-state D2H fetch (hundreds of MB;
+        # the dominant CLI overhead on slow transports) amortizes
+        save_this = ((epoch + 1) % max(args.save_interval, 1) == 0
+                     or epoch == args.num_epochs - 1)
         if args.dp_mode == "sync":
             state = run_epoch(epoch, state)
             float(state.step)  # host materialization = reliable device sync
-            snap_state, snap_extra = snap(state), None
+            snap_state, snap_extra = (snap(state) if save_this else None), None
             val_params, val_stats = state.params, state.batch_stats
         else:
             bstate = run_epoch(epoch, bstate)
@@ -544,13 +549,14 @@ def main(argv=None):
             snap_state = None
             snap_extra = (snap(bstate),
                           snap(stats_box[0]) if stats_box[0] is not None else None,
-                          step_box[0])
+                          step_box[0]) if save_this else None
             val_params, val_stats = bstate.params, stats_box[0]
         dt = _time.perf_counter() - t_epoch
         log_f.write(f"===> Epoch {epoch} wall {dt:.1f}s, {utt_box[0]} utts, "
                     f"{utt_box[0] / max(dt, 1e-9):.1f} utt/s <===\n")
         log_f.flush()
-        _spawn_saver(epoch, snap_state, snap_extra)
+        if save_this:
+            _spawn_saver(epoch, snap_state, snap_extra)
         if eval_step is not None:
             run_validation(val_params, val_stats, epoch)
     if saver_box[0] is not None:

@@ -280,6 +280,58 @@ def test_openfst_binary_roundtrip(toy_fst, tmp_path):
     assert back.start == toy_fst.start
 
 
+def test_openfst_binary_roundtrip_symbols_and_disambig(tmp_path):
+    """Round trip of a file shaped like real Kaldi LM FSTs: embedded
+    isymbols+osymbols (header flags 0x1|0x2, written by our own writer this
+    time, not a hand-patched blob) AND disambig arcs (#0-style ilabels),
+    exercising both reader paths end-to-end (VERDICT r3 item 7;
+    decode_transducer.py:83-86)."""
+    import struct
+
+    from pika_tpu.decode.fst import read_openfst_binary, write_openfst_binary
+
+    src = tmp_path / "lm.txt.fst"
+    # ilabels: 1=a, 2=b; backoff 0; disambig ids 90, 91
+    src.write_text(
+        "0 1 1 1 0.5\n"
+        "0 2 2 2 1.2\n"
+        "0 1 90 90 0.15\n"   # disambig #0 from uni state
+        "1 2 2 2 0.3\n"
+        "1 0 0 0 0.4\n"
+        "1 2 91 91 0.25\n"   # disambig #1 from a-ctx
+        "2 0 0 0 0.2\n"
+        "0 0.1\n"
+        "2 0.05\n"
+    )
+    t = read_text_fst(str(src), disambig_ids=[90, 91])
+    assert t.disambig_ids == (90, 91)
+    assert (t.disambig_next >= 0).sum() == 2
+
+    path = tmp_path / "lm.fst"
+    syms = {"<eps>": 0, "a": 1, "b": 2, "#0": 90, "#1": 91}
+    write_openfst_binary(str(path), t, isymbols=syms, osymbols=syms)
+    raw = path.read_bytes()
+    assert struct.unpack_from("<i", raw, 30)[0] == 0x3  # both flags set
+
+    back = read_openfst_binary(str(path), disambig_ids=[90, 91])
+    np.testing.assert_array_equal(back.arc_start, t.arc_start)
+    np.testing.assert_array_equal(back.arc_ilabel, t.arc_ilabel)
+    np.testing.assert_allclose(back.arc_weight, t.arc_weight, rtol=1e-6)
+    np.testing.assert_array_equal(back.arc_next, t.arc_next)
+    np.testing.assert_array_equal(back.backoff_next, t.backoff_next)
+    np.testing.assert_allclose(back.backoff_weight, t.backoff_weight, rtol=1e-6)
+    np.testing.assert_array_equal(back.disambig_next, t.disambig_next)
+    np.testing.assert_allclose(
+        np.where(t.disambig_next >= 0, back.disambig_weight, 0),
+        np.where(t.disambig_next >= 0, t.disambig_weight, 0), rtol=1e-6)
+    np.testing.assert_allclose(back.final_weight, t.final_weight, rtol=1e-6)
+    assert back.start == t.start
+
+    # reading WITHOUT disambig_ids must fold 90/91 into plain arcs, not drop
+    plain = read_openfst_binary(str(path))
+    assert len(plain.arc_ilabel) == len(t.arc_ilabel) + 2
+
+
 def test_read_text_fst_acceptor(tmp_path):
     """Acceptor format (fstcompile --acceptor): 'src dst il [w]'.  Its
     4-field arc is ambiguous with an unweighted transducer arc — the

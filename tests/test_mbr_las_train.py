@@ -90,6 +90,38 @@ def test_mbr_surrogate_gradient_direction(rng):
     assert np.isfinite(float(metrics["mbr_loss"]))
 
 
+def test_mbr_blank_threaded_through(rng):
+    """mbr_losses used to hardcode blank=0; with a nonzero blank the (t,u)
+    lattice indices must follow the beam's actual blank id, so the
+    surrogate value must differ from one computed with the wrong blank
+    (review r4).  Label 0 is excluded from targets so blank=5 is clean."""
+    cfg = TransducerConfig(input_dim=8, vocab_size=6, hid_dim=16,
+                           enc_layers=1, dec_layers=1, embd_dim=8)
+    model, variables = init_transducer(K, cfg)
+    b, t, u = 2, 6, 3
+    feats = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    feat_lens = jnp.asarray([t, t], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, 5, (b, u)).astype(np.int32))
+    label_lens = jnp.asarray([u, u], jnp.int32)
+    beam_cfg = BeamConfig(beam_size=4, n_best=4, max_symbols=6,
+                          prune_dups=False, blank=5)
+    enc = model.apply(variables, feats, feat_lens, method=Transducer.encode)
+    nbest = beam_search(model, variables, enc, feat_lens, beam_cfg)
+    aligns = np.asarray(nbest["aligns"])
+    assert (aligns == 5).any(), "premise: alignments contain blank=5 steps"
+
+    def total_with(blank):
+        tot, (m, _) = mbr_losses(model, variables["params"], feats, feat_lens,
+                                 labels, label_lens, nbest, rnnt_scale=0.0,
+                                 sm_scale=1.0, blank=blank)
+        return float(tot), m
+
+    right, m = total_with(5)
+    wrong, _ = total_with(0)
+    assert np.isfinite(right) and np.isfinite(float(m["mbr_loss"]))
+    assert right != wrong, "blank id had no effect on the surrogate"
+
+
 VOCAB = 8
 
 
