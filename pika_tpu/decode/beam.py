@@ -459,9 +459,20 @@ def beam_search(
 
     final = jax.lax.while_loop(cond, body, init)
 
-    # backfill: if fewer than n finished, take live beams as-is
-    # (sort_finished minimum-fill, beam_transducer.py:196-207)
-    all_scores = jnp.concatenate([final.fin_scores, final.scores], axis=1)
+    # backfill: live beams enter the final ranking force-finished — with
+    # their FST final scores added, like the reference's at-max_len path
+    # (beam_transducer.py:161-181) and like every mid-loop finished entry.
+    # Ranking live beams model-only would be inconsistent with the
+    # LM-augmented finished scores: the stop bound guarantees no live
+    # beam's LM-AUGMENTED total can beat the kept finished set, so a
+    # model-only live score could spuriously outrank genuinely finished
+    # hypotheses the moment the loop exits.
+    live_scores = final.scores
+    if use_lm:
+        live_fin_lm = fst_final_scores(fst_tables, final.fst_states,
+                                       final.fst_costs, cfg.fst_backoff_levels)
+        live_scores = final.scores + cfg.lm_scale * jnp.maximum(live_fin_lm, NEG)
+    all_scores = jnp.concatenate([final.fin_scores, live_scores], axis=1)
     all_tokens = jnp.concatenate([final.fin_tokens, final.tokens], axis=1)
     all_lens = jnp.concatenate([final.fin_lens, final.lens], axis=1)
     all_aligns = jnp.concatenate([final.fin_aligns, final.aligns], axis=1)

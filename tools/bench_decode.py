@@ -26,6 +26,13 @@ def main():
                          "difference attributes decode time between the "
                          "batch-scaling encoder forward and the "
                          "latency-bound beam while_loop")
+    ap.add_argument("--fst", choices=("off", "per_beam", "per_token"),
+                    default="off",
+                    help="decode with synthetic n-gram FST fusion to "
+                         "measure the RTF cost of each fusion mode "
+                         "(VERDICT r3 item 4)")
+    ap.add_argument("--fst_states", type=int, default=5000,
+                    help="synthetic LM size (bigram contexts)")
     args = ap.parse_args()
 
     import jax
@@ -50,9 +57,45 @@ def main():
         tdnn_nhid=1024, tdnn_layers=9,
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg, max_t=80, max_u=8)
+    fst_tables = None
+    fst_start = 0
     bcfg = BeamConfig(beam_size=args.beam, n_best=args.n_best,
                       sm_scale=1.2, max_symbols=args.max_symbols,
-                      mm_dtype="auto")
+                      mm_dtype="auto",
+                      lm_scale=0.5 if args.fst != "off" else 0.0,
+                      lm_per_token=(args.fst == "per_token"))
+    if args.fst != "off":
+        # synthetic but realistically-shaped backoff bigram LM: a unigram
+        # state with V arcs plus fst_states bigram contexts with ~40
+        # successors each, ilabel-sorted CSR (what compile_arpa produces)
+        from pika_tpu.decode.fst import FstTables
+        lm_rng = np.random.default_rng(1)
+        vocab = 6268
+        ns = 1 + args.fst_states
+        succ = 40
+        arc_start = np.zeros(ns + 1, np.int64)
+        arc_start[1] = vocab  # unigram state: every token
+        arc_start[2:] = vocab + succ * np.arange(1, ns, dtype=np.int64)
+        ils, ws, nxt = [np.arange(1, vocab + 1, dtype=np.int32)], [], []
+        ws.append(lm_rng.uniform(1.0, 12.0, vocab).astype(np.float32))
+        nxt.append(lm_rng.integers(1, ns, vocab).astype(np.int32))
+        for _ in range(ns - 1):
+            ils.append(np.sort(lm_rng.choice(
+                np.arange(1, vocab + 1, dtype=np.int32), succ, replace=False)))
+            ws.append(lm_rng.uniform(0.2, 6.0, succ).astype(np.float32))
+            nxt.append(lm_rng.integers(1, ns, succ).astype(np.int32))
+        tables = FstTables(
+            arc_start=arc_start.astype(np.int32),
+            arc_ilabel=np.concatenate(ils), arc_weight=np.concatenate(ws),
+            arc_next=np.concatenate(nxt),
+            backoff_next=np.concatenate([[-1], np.zeros(ns - 1, np.int32)]).astype(np.int32),
+            backoff_weight=np.concatenate([[0.0], lm_rng.uniform(0.5, 3.0, ns - 1)]).astype(np.float32),
+            final_weight=np.full(ns, 0.5, np.float32),
+            start=0,
+            disambig_next=np.full((ns, 1), -1, np.int32),
+            disambig_weight=np.full((ns, 1), 1e30, np.float32),
+        )
+        fst_tables, fst_start = tables.device_arrays(), tables.start
 
     rng = np.random.default_rng(0)
     wavs = jnp.asarray((rng.standard_normal((args.batch, max_samples)) * 4000).astype(np.float32))
@@ -64,7 +107,8 @@ def main():
     @jax.jit
     def run(vs, w):
         def body(carry, _):
-            out = beam_search_waveforms(model, vs, featurizer, carry, lens, bcfg)
+            out = beam_search_waveforms(model, vs, featurizer, carry, lens,
+                                        bcfg, fst_tables, fst_start)
             return carry + out["scores"].sum() * 1e-20, out["scores"].sum()
         _, outs = jax.lax.scan(body, w, None, length=args.reps)
         return outs.sum()
@@ -75,8 +119,8 @@ def main():
     dt = (time.perf_counter() - t0) / args.reps
     utts = args.batch / dt
     rtf = dt / (args.batch * args.seconds)
-    print(f"beam={args.beam} batch={args.batch}: {dt*1000:.1f} ms/batch, "
-          f"{utts:.2f} utt/s, RTF {rtf:.5f}")
+    print(f"beam={args.beam} batch={args.batch} fst={args.fst}: "
+          f"{dt*1000:.1f} ms/batch, {utts:.2f} utt/s, RTF {rtf:.5f}")
 
     if args.attribution:
         from pika_tpu.models.transducer import Transducer
