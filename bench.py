@@ -123,11 +123,16 @@ def main():
             stride=1, spec_augment=True,
         )
     )
+    # BENCH_ATTN_CHUNK / BENCH_CHEAP_DROPOUT / BENCH_REMAT: attention-path
+    # experiments (default off = the reference-parity full path)
     cfg = TransducerConfig(
         input_dim=240, vocab_size=VOCAB, hid_dim=1024,
         encoder_type="tdnn_transformer", decoder_type="rnn",
         enc_layers=9, dec_layers=2, embd_dim=100,
         tdnn_nhid=1024, tdnn_layers=9,
+        attn_chunk=int(_os.environ.get("BENCH_ATTN_CHUNK", "0")),
+        attn_cheap_dropout=_os.environ.get("BENCH_CHEAP_DROPOUT", "") == "1",
+        remat=_os.environ.get("BENCH_REMAT", "") == "1",
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg, max_t=80, max_u=8)
     tx = make_optimizer(

@@ -41,6 +41,9 @@ class TDNNTransformerEncoder(nn.Module):
     heads: Sequence[int] = (16, 16, 8)
     transformer_dropout: float = 0.2
     attn_chunk: int = 0  # query-block chunked attention (O(T*chunk) memory)
+    attn_flash: bool = False        # Pallas flash-attention core (exact;
+    #                                 taken only on deterministic passes)
+    attn_cheap_dropout: bool = False  # head-shared bits-threshold dropout
     remat: bool = False  # jax.checkpoint each transformer layer: recompute
     #                      activations in the backward pass instead of
     #                      holding the (B,H,T,T) attention tensors in HBM —
@@ -95,6 +98,8 @@ class TDNNTransformerEncoder(nn.Module):
                     nhid, self.heads[t_layer], nhid * 4,
                     self.transformer_dropout,
                     attn_q_chunk=self.attn_chunk,
+                    attn_flash=self.attn_flash,
+                    attn_cheap_dropout=self.attn_cheap_dropout,
                     name=f"transformer_{t_layer}",
                 )(x, None, not train)
                 t_layer += 1

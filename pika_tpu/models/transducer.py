@@ -46,6 +46,10 @@ class TransducerConfig:
     tdnn_transformer_dropout: float = 0.2  # rnnt_tdnn_transformer.py:64
     remat: bool = False      # rematerialize encoder transformer layers
     attn_chunk: int = 0      # chunked encoder attention (0 = full T x T)
+    attn_flash: bool = False        # Pallas flash-attention (exact; only
+    #                                 taken on deterministic passes)
+    attn_cheap_dropout: bool = False  # head-shared bits-threshold attention
+    #                                   dropout (unbiased; 16x fewer bits)
     dec_d_model: int = 512
     dec_heads: int = 8
     dec_d_ff: int = 2048
@@ -74,6 +78,8 @@ class Transducer(nn.Module):
                 transformer_dropout=cfg.tdnn_transformer_dropout,
                 remat=cfg.remat,
                 attn_chunk=cfg.attn_chunk,
+                attn_flash=cfg.attn_flash,
+                attn_cheap_dropout=cfg.attn_cheap_dropout,
                 name="encoder",
             )
         self.embed = nn.Embed(cfg.vocab_size + 1, cfg.embd_dim, name="embed")

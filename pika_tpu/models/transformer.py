@@ -99,6 +99,19 @@ class MultiHeadedAttention(nn.Module):
     # Exact same math as the full path; only the dropout RNG pattern
     # differs.  Pair with encoder remat for O(T·chunk) attention memory.
     q_chunk: int = 0
+    # use_flash: route the softmax(QK^T)V core through the Pallas TPU
+    # flash-attention kernel (online softmax, no (B, H, T, T) tensor ever
+    # in HBM, fused fwd AND bwd).  Taken only when it is exact: no mask,
+    # no relative positions, self-attention, and no attention-prob dropout
+    # to apply (deterministic or dropout_rate 0, or cheap_dropout=False
+    # falls back).  Off by default.
+    use_flash: bool = False
+    # cheap_dropout: in the full path, replace nn.Dropout on the (B,H,T,T)
+    # probabilities with the chunked path's raw-bits threshold mask shared
+    # across heads — identical expectation (unbiased), head-correlated
+    # noise, 16x fewer random bits and no bernoulli->uniform broadcast
+    # chain.  Off by default (reference RNG parity).
+    cheap_dropout: bool = False
 
     @nn.compact
     def __call__(
@@ -131,6 +144,13 @@ class MultiHeadedAttention(nn.Module):
             return self._chunked(q, k, v, mask, use_rel, deterministic,
                                  query.dtype, b, tq, tk, dim, d_head)
 
+        no_prob_dropout = deterministic or self.dropout_rate == 0.0
+        if (self.use_flash and mask is None and not use_rel and tq == tk
+                and no_prob_dropout and jax.default_backend() == "tpu"):
+            ctx = self._flash(q, k, v, b, tq, d_head, query.dtype)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, dim)
+            return nn.Dense(dim, name="final_linear")(ctx)
+
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         if use_rel:
             rel_ids = relative_positions_matrix(tk, m)
@@ -142,10 +162,48 @@ class MultiHeadedAttention(nn.Module):
             scores = jnp.where(mask[:, None, :, :], -1e18, scores)
 
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        if self.cheap_dropout and not deterministic and self.dropout_rate > 0:
+            # see _chunked: unbiased bits-threshold dropout, mask shared
+            # across heads — 16x fewer random bits than nn.Dropout on the
+            # full (B, H, T, T) probabilities
+            keep = 1.0 - self.dropout_rate
+            thr = jnp.uint32(int(round(keep * 0xFFFFFFFF)))
+            bits = jax.random.bits(self.make_rng("dropout"),
+                                   (attn.shape[0], 1) + attn.shape[2:],
+                                   jnp.uint32)
+            attn = jnp.where(bits < thr, attn / keep, 0).astype(v.dtype)
+        else:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
         ctx = ctx.astype(query.dtype).transpose(0, 2, 1, 3).reshape(b, tq, dim)
         return nn.Dense(dim, name="final_linear")(ctx)
+
+    def _flash(self, q, k, v, b, t, d_head, out_dtype):
+        """Pallas TPU flash-attention core on (B, H, T, d) inputs already
+        scaled by 1/sqrt(d_head).  Sequences are padded to the kernel's
+        block multiple; padded positions ride a different segment id so
+        they cannot absorb attention mass from real positions."""
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, SegmentIds, flash_attention)
+
+        blk = 512 if t >= 512 else 128
+        tp = -(-t // blk) * blk
+        pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+        qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        seg = None
+        if tp != t:
+            ids = (jnp.arange(tp) >= t).astype(jnp.int32)[None, :]
+            ids = jnp.broadcast_to(ids, (b, tp))
+            seg = SegmentIds(q=ids, kv=ids)
+        sizes = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
+        ctx = flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
+                              sm_scale=1.0, block_sizes=sizes)
+        return ctx[:, :, :t].astype(out_dtype)
 
     def _chunked(self, q, k, v, mask, use_rel, deterministic, out_dtype,
                  b, tq, tk, dim, d_head):
@@ -248,6 +306,8 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float
     max_relative_positions: int = 0
     attn_q_chunk: int = 0   # see MultiHeadedAttention.q_chunk
+    attn_flash: bool = False         # see MultiHeadedAttention.use_flash
+    attn_cheap_dropout: bool = False  # see MultiHeadedAttention.cheap_dropout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None, deterministic: bool = True) -> jnp.ndarray:
@@ -255,6 +315,8 @@ class TransformerEncoderLayer(nn.Module):
         ctx = MultiHeadedAttention(
             self.heads, self.d_model, self.dropout_rate,
             self.max_relative_positions, q_chunk=self.attn_q_chunk,
+            use_flash=self.attn_flash,
+            cheap_dropout=self.attn_cheap_dropout,
             name="self_attn",
         )(x_norm, x_norm, x_norm, mask=mask, deterministic=deterministic)
         out = nn.Dropout(self.dropout_rate)(ctx, deterministic=deterministic) + x

@@ -53,6 +53,14 @@ def chain_time(jax, jnp, fn, args, n_steps=10, reps=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dropout", type=float, default=0.2,
+                    help="tdnn_transformer_dropout (0 isolates the cost of "
+                         "attention-prob dropout masks, (B,H,T,T) random "
+                         "bits per layer)")
+    ap.add_argument("--attn_chunk", type=int, default=0,
+                    help="query-block chunked attention (never materializes "
+                         "(B,H,T,T) scores in HBM)")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     B = args.batch
 
@@ -80,6 +88,8 @@ def main():
         encoder_type="tdnn_transformer", decoder_type="rnn",
         enc_layers=9, dec_layers=2, embd_dim=100,
         tdnn_nhid=1024, tdnn_layers=9,
+        tdnn_transformer_dropout=args.dropout,
+        attn_chunk=args.attn_chunk, remat=args.remat,
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg,
                                        max_t=80, max_u=8)
@@ -121,8 +131,25 @@ def main():
         g = jax.grad(loss)(p)
         gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
         return f + gsum * 1e-20, gsum
-    rows.append(("encoder fwd+bwd",
+    rows.append(("encoder fwd+bwd (eval mode, no dropout)",
                  chain_time(jax, jnp, encg_fn, (feats, params))))
+
+    # 3b. encoder fwd+bwd in TRAIN mode — what the step actually pays:
+    # includes dropout mask generation ((B,H,T,T) random bits per
+    # transformer layer when attention dropout is on) and BatchNorm
+    # batch-statistics mode
+    def encg_train_fn(f, p):
+        def loss(p_):
+            vs = {**variables, "params": p_}
+            enc = model.apply(vs, f, feat_lens, method=Transducer.encode,
+                              train=True, rngs={"dropout": key},
+                              mutable=["batch_stats"])[0]
+            return enc.sum()
+        g = jax.grad(loss)(p)
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return f + gsum * 1e-20, gsum
+    rows.append(("encoder fwd+bwd (train mode, dropout+BN)",
+                 chain_time(jax, jnp, encg_train_fn, (feats, params))))
 
     # 4. loss fwd+bwd at the step's joint shapes (T'=250)
     tp = 250
@@ -163,10 +190,11 @@ def main():
                  chain_time(jax, jnp, step_wrap, (state, batch, key))))
 
     full = rows[-1][1]
-    print(f"\nbatch {B}, 10s utts, flagship config:")
+    print(f"\nbatch {B}, 10s utts, flagship config, dropout {args.dropout}, "
+          f"attn_chunk {args.attn_chunk}:")
     for name, t in rows:
         print(f"  {name:45s} {t * 1000:8.1f} ms  ({t / full * 100:5.1f}% of step)")
-    known = rows[0][1] + rows[2][1] + rows[3][1]
+    known = rows[0][1] + rows[3][1] + rows[4][1]
     print(f"  {'featurizer + enc fwd+bwd + loss':45s} {known * 1000:8.1f} ms  "
           f"({known / full * 100:5.1f}%) — residual = pred net, joint "
           f"factor matmuls+bwd, optimizer, clip")
