@@ -209,21 +209,43 @@ for d in fw bw; do
         --seed $SEED $rev $aug_flags
 done
 
+las_flags="--las_rescorer_model $exp/las_fw/model.epoch.7
+    --las_rescorer_bw_model $exp/las_bw/model.epoch.7 --SOS 0 --EOS 31"
+
+echo "=== stage 7a: tune LAS rescoring scales on DEV (one decode, sweep) ==="
+# the reference hardcodes 1.0/0.3/0.7 (egs/local/nbest_rerank.py:53-58);
+# here the fw:bw pair is tuned on the held-out dev corpus in the full-
+# stack (FST-fused) context — one decode, every pair reranked in-process
+if ! grep -q "chosen las_scales" $exp/las_sweep.note 2>/dev/null; then
+    timeout 1500 python -m pika_tpu.train.eval_transducer \
+        $mbr_model $dev/test/wav.scp $exp/nbest_dev_las.txt \
+        --ref_labels ark:$dev/test/label.txt $las_flags \
+        --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+        --symbols_map $data/char.txt \
+        --las_scale_sweep "0.05:0.05,0.1:0.1,0.2:0.2,0.3:0.3,0.5:0.5,0.3:0.7,0.7:0.3,0.15:0.35" \
+        $decode_flags > $exp/decode_dev_las.out 2>&1 || true
+    pair=$(grep -E "^las_scales" $exp/decode_dev_las.out \
+           | awk '{print $4, $2}' | sort -g | head -1 | awk '{print $2}')
+    [ -z "$pair" ] && pair="0.3:0.7"
+    echo "chosen las_scales $pair" > $exp/las_sweep.note
+    grep -E "^las_scales" $exp/decode_dev_las.out >> $exp/las_sweep.note || true
+fi
+pair=$(awk '/chosen las_scales/{print $3}' $exp/las_sweep.note)
+las_fw_scale=${pair%%:*}; las_bw_scale=${pair##*:}
+echo "chosen las_scales fw $las_fw_scale bw $las_bw_scale" | tee -a $results
+
 echo "=== stage 7: TEST decode — MBR + LAS fw/bw rescoring ==="
 wer_of mbr_las python -m pika_tpu.train.eval_transducer \
     $mbr_model $data/test/wav.scp $exp/nbest_mbr_las.txt \
-    --ref_labels ark:$data/test/label.txt \
-    --las_rescorer_model $exp/las_fw/model.epoch.7 \
-    --las_rescorer_bw_model $exp/las_bw/model.epoch.7 \
-    --SOS 0 --EOS 31 $decode_flags
+    --ref_labels ark:$data/test/label.txt $las_flags \
+    --las_fw_score_scale $las_fw_scale --las_bw_score_scale $las_bw_scale \
+    $decode_flags
 
 echo "=== stage 8: TEST decode — full stack (MBR + LAS + FST fusion) ==="
 wer_of mbr_las_fst python -m pika_tpu.train.eval_transducer \
     $mbr_model $data/test/wav.scp $exp/nbest_full.txt \
-    --ref_labels ark:$data/test/label.txt \
-    --las_rescorer_model $exp/las_fw/model.epoch.7 \
-    --las_rescorer_bw_model $exp/las_bw/model.epoch.7 \
-    --SOS 0 --EOS 31 \
+    --ref_labels ark:$data/test/label.txt $las_flags \
+    --las_fw_score_scale $las_fw_scale --las_bw_score_scale $las_bw_scale \
     --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
     --symbols_map $data/char.txt $decode_flags
 

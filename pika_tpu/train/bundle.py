@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 from typing import Any, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -53,7 +54,15 @@ def load_bundle(directory: str) -> Tuple[Any, Any, dict]:
     with open(os.path.join(directory, "model.json")) as f:
         spec = json.load(f)
     model_cls, cfg_cls = _KINDS[spec["kind"]]
-    cfg = cfg_cls(**spec["config"])
+    # tolerate version skew: a bundle saved by a newer build may carry
+    # config fields this build does not know — dropping them (loudly) is
+    # strictly better than refusing to load the parameters
+    known = {f.name for f in dataclasses.fields(cfg_cls)}
+    unknown = sorted(set(spec["config"]) - known)
+    if unknown:
+        print(f"load_bundle: ignoring unknown config fields {unknown} "
+              f"(saved by a newer build?)", file=sys.stderr)
+    cfg = cfg_cls(**{k: v for k, v in spec["config"].items() if k in known})
     model = model_cls(cfg)
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore(os.path.join(directory, "variables"))

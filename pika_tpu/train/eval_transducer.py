@@ -76,6 +76,12 @@ def build_parser():
     parser.add_argument("--rnnt_score_scale", type=float, default=1.0)
     parser.add_argument("--las_fw_score_scale", type=float, default=0.3)
     parser.add_argument("--las_bw_score_scale", type=float, default=0.7)
+    parser.add_argument("--las_scale_sweep", type=str, default="",
+                        help="comma-separated fw:bw pairs, e.g. "
+                             "'0.3:0.7,0.5:0.5'.  One decode, a WER line "
+                             "per pair (requires --ref_labels) — tune LAS "
+                             "rescoring scales on a dev set without "
+                             "re-decoding per candidate")
     parser.add_argument("--output_scores", action="store_true")
     parser.add_argument("--min_len", type=int, default=0,
                         help="minimum feature frames; short utterances are "
@@ -257,6 +263,13 @@ def main(argv=None):
                     return
                 yield item
 
+    sweep_pairs = []
+    if args.las_scale_sweep:
+        for p in args.las_scale_sweep.split(","):
+            fw_s, bw_s = p.split(":")
+            sweep_pairs.append((float(fw_s), float(bw_s)))
+    hyp_sweep = [dict() for _ in sweep_pairs]
+
     total_audio = 0.0
     with open(args.output_file, "w", encoding="utf-8") as out_f:
         for chunk, wavs, lens, audio in chunk_stream():
@@ -305,6 +318,19 @@ def main(argv=None):
             )
             best_idx = np.asarray(best_idx)
 
+            # scale sweep: rerank the SAME in-memory N-best per pair — one
+            # decode, many candidate scale settings
+            for pi, (fs, bs) in enumerate(sweep_pairs):
+                bidx, _ = rerank_nbest(host["scores"], host["lens"],
+                                       fw_scores, bw_scores,
+                                       args.rnnt_score_scale, fs, bs)
+                bidx = np.asarray(bidx)
+                for i, uttid in enumerate(chunk):
+                    bj = int(bidx[i])
+                    length = int(host["lens"][i, bj])
+                    hyp_sweep[pi][uttid] = [
+                        str(int(t)) for t in host["tokens"][i, bj, :length]]
+
             for i, uttid in enumerate(chunk):
                 for j in range(args.n_best):
                     length = int(host["lens"][i, j])
@@ -341,6 +367,10 @@ def main(argv=None):
             print(f"WARNING: {n_unref} decoded utterances have no reference "
                   f"({len(refs)} of {len(hyp_best)} scored) — check that "
                   "--ref_labels ids match wav.scp ids", file=sys.stderr)
+        for (fs, bs), hyps in zip(sweep_pairs, hyp_sweep):
+            w_s, c_s = score_wer(refs, {u: h for u, h in hyps.items() if u in refs})
+            print(f"las_scales {fs}:{bs} %WER {w_s * 100:.2f} "
+                  f"[ {c_s['errors']} / {c_s['words']} ]", file=sys.stderr)
         wer, counts = score_wer(refs, hyp_best)
         print(f"%WER {wer * 100:.2f} [ {counts['errors']} / {counts['words']}, "
               f"{counts['ins']} ins, {counts['del']} del, {counts['sub']} sub ]",
