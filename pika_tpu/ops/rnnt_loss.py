@@ -276,9 +276,10 @@ def _fused_fwd_impl(ax, gx, ay, gy, w2, b2, labels, t_len, u_len, chunk, backend
     labels_ext = jnp.concatenate([labels, jnp.zeros((b, 1), labels.dtype)], axis=1)
     labels_ext = jnp.clip(labels_ext, 0, w2.shape[1] - 1)
     if backend == "pallas":
-        from pika_tpu.ops.rnnt_pallas import joint_channels_pallas
+        from pika_tpu.ops.rnnt_pallas import joint_channels_pallas, kernel_blocks
 
-        lse, zb, zy = joint_channels_pallas(ax, gx, ay, gy, w2, b2, labels_ext)
+        lse, zb, zy = joint_channels_pallas(ax, gx, ay, gy, w2, b2, labels_ext,
+                                            **kernel_blocks(bwd=False))
     else:
         lse, zb, zy = _all_channels(ax, gx, ay, gy, w2, b2, labels_ext, chunk)
     blank_lp = zb - lse
@@ -325,10 +326,11 @@ def _fused_bwd(chunk, backend, res, g_loss):
         )
 
     if backend == "pallas":
-        from pika_tpu.ops.rnnt_pallas import joint_channels_pallas_bwd
+        from pika_tpu.ops.rnnt_pallas import joint_channels_pallas_bwd, kernel_blocks
 
         grads = joint_channels_pallas_bwd(
-            ax, gx, ay, gy, w2, b2, labels_ext, lse, d_lse, d_zb, d_zy
+            ax, gx, ay, gy, w2, b2, labels_ext, lse, d_lse, d_zb, d_zy,
+            **kernel_blocks(bwd=True)
         )
         return match_dtypes(grads) + (None, None, None)
 

@@ -47,6 +47,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def kernel_blocks(bwd: bool) -> dict:
+    """Tile-size overrides for the fused-joint kernels, from the
+    environment (perf experiments without code edits):
+      PIKA_LOSS_BLOCK_T / PIKA_LOSS_BLOCK_U — both kernels
+      PIKA_LOSS_BLOCK_V — forward only (the backward's V-tile is adaptive
+      to the scoped-VMEM budget unless PIKA_LOSS_BLOCK_V_BWD is set).
+    Defaults match the shipped values (128, 8, 512 fwd / adaptive bwd)."""
+    import os
+
+    out = {}
+    if os.environ.get("PIKA_LOSS_BLOCK_T"):
+        out["block_t"] = int(os.environ["PIKA_LOSS_BLOCK_T"])
+    if os.environ.get("PIKA_LOSS_BLOCK_U"):
+        out["block_u"] = int(os.environ["PIKA_LOSS_BLOCK_U"])
+    key = "PIKA_LOSS_BLOCK_V_BWD" if bwd else "PIKA_LOSS_BLOCK_V"
+    if os.environ.get(key):
+        out["block_v"] = int(os.environ[key])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
