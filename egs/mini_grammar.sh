@@ -249,18 +249,52 @@ wer_of mbr_las_fst python -m pika_tpu.train.eval_transducer \
     --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
     --symbols_map $data/char.txt $decode_flags
 
+echo "=== stage 9a: tune fst_lm_scale for PER-TOKEN fusion on DEV ==="
+# per-candidate fusion changes the effective LM strength (the LM picks
+# tokens, not just beams), so its scale is tuned separately
+pt_scale=""; pt_best=1e9
+for s in 0.4 0.8 1.2 1.6; do
+    if ! grep -qE "%WER" $exp/decode_devpt$s.out 2>/dev/null; then
+        timeout 1500 python -m pika_tpu.train.eval_transducer \
+            $model $dev/test/wav.scp $exp/nbest_dev_pt$s.txt \
+            --ref_labels ark:$dev/test/label.txt \
+            --fst_lm $data/lm.arpa --fst_lm_scale $s --fst_per_token \
+            --symbols_map $data/char.txt \
+            $decode_flags > $exp/decode_devpt$s.out 2>&1 || true
+    fi
+    w=$(grep -oE "%WER [0-9.]+" $exp/decode_devpt$s.out | awk '{print $2}' | tail -1)
+    if [ -z "$w" ]; then
+        rm -f $exp/decode_devpt$s.out
+        echo "dev pt fst_lm_scale $s -> decode failed; skipping" | tee -a $results
+        continue
+    fi
+    echo "dev pt fst_lm_scale $s -> WER $w" | tee -a $results
+    better=$(python -c "print(1 if $w < $pt_best else 0)")
+    if [ "$better" = 1 ]; then pt_best=$w; pt_scale=$s; fi
+done
+[ -z "$pt_scale" ] && pt_scale=$best_scale
+echo "chosen pt fst_lm_scale $pt_scale (dev WER $pt_best)" | tee -a $results
+
 echo "=== stage 9: per-token fusion (--fst_per_token) decodes ==="
 # per-candidate LM advance at selection time (the reference's
 # beam_transducer semantics) vs the default per-beam prefix bias
 wer_of base_fst_pt python -m pika_tpu.train.eval_transducer \
     $model $data/test/wav.scp $exp/nbest_fst_pt.txt \
     --ref_labels ark:$data/test/label.txt \
-    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_per_token \
+    --fst_lm $data/lm.arpa --fst_lm_scale $pt_scale --fst_per_token \
     --symbols_map $data/char.txt $decode_flags
 wer_of mbr_fst_pt python -m pika_tpu.train.eval_transducer \
     $mbr_model $data/test/wav.scp $exp/nbest_mbr_fst_pt.txt \
     --ref_labels ark:$data/test/label.txt \
-    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_per_token \
+    --fst_lm $data/lm.arpa --fst_lm_scale $pt_scale --fst_per_token \
+    --symbols_map $data/char.txt $decode_flags
+
+echo "=== stage 10: FULL stack — MBR + per-token fusion + LAS rescoring ==="
+wer_of mbr_fst_pt_las python -m pika_tpu.train.eval_transducer \
+    $mbr_model $data/test/wav.scp $exp/nbest_mbr_fst_pt_las.txt \
+    --ref_labels ark:$data/test/label.txt $las_flags \
+    --las_fw_score_scale $las_fw_scale --las_bw_score_scale $las_bw_scale \
+    --fst_lm $data/lm.arpa --fst_lm_scale $pt_scale --fst_per_token \
     --symbols_map $data/char.txt $decode_flags
 
 echo "=== RESULTS (seed $SEED) ==="

@@ -14,7 +14,7 @@ import re
 import sys
 
 STAGES = ["base", "base_fst", "base_fst_pt", "mbr", "mbr_fst", "mbr_fst_pt",
-          "mbr_las", "mbr_las_fst"]
+          "mbr_las", "mbr_las_fst", "mbr_fst_pt_las"]
 
 
 def main():
