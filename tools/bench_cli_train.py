@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--seconds", type=float, default=9.0)
     ap.add_argument("--labels", type=int, default=30)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--save_interval", type=int, default=1,
+                    help="checkpoint every N epochs (VERDICT r3 item 6: "
+                         "the per-epoch ~228 MB parameter D2H fetch is the "
+                         "CLI-vs-fused gap on the tunneled transport; >1 "
+                         "amortizes it away except on the final epoch)")
     args = ap.parse_args()
 
     import tempfile
@@ -64,9 +70,10 @@ def main():
         "--rnn_size", "1024", "--enc_layers", "9", "--dec_layers", "2",
         "--tdnn_nhid", "1024", "--tdnn_layers", "9",
         "--embd_dim", "100", "--output_dim", "6268",
-        "--batch_size", "8", "--dp_mode", "sync", "--num_devices", "1",
+        "--batch_size", str(args.batch), "--dp_mode", "sync", "--num_devices", "1",
         "--num_epochs", str(args.epochs),
-        "--num_batches_per_epoch", str(max(1, args.utts // 8)),
+        "--num_batches_per_epoch", str(max(1, args.utts // args.batch)),
+        "--save_interval", str(args.save_interval),
         "--initial_lr", "0.003", "--final_lr", "0.0001",
         "--grad_clip", "3.0", "--spec_augment",
         "--max_wav_seconds", "10.0",

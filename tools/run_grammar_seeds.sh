@@ -10,7 +10,7 @@ for s in 1 2 3; do
     for attempt in 1 2 3; do
         echo "===== SEED $s attempt $attempt start $(date) ====="
         SEED=$s timeout 7200 bash egs/mini_grammar.sh $work 2>&1 | tail -40
-        if grep -q "^mbr_fst_pt " $work/RESULTS.seed$s 2>/dev/null; then
+        if grep -q "^mbr_fst_pt_las " $work/RESULTS.seed$s 2>/dev/null; then
             echo "===== SEED $s complete $(date) ====="
             break
         fi
