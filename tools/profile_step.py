@@ -113,18 +113,24 @@ def main():
     feats, feat_lens = featurizer(None, wavs, wlens, False)
     feats = jax.block_until_ready(feats)
 
-    def enc_fn(f, _k):
-        enc = model.apply(variables, f, feat_lens, method=Transducer.encode,
+    # NB: every stage takes the model variables as a jit ARGUMENT — a
+    # closure capture would bake the ~228 MB pytree into the HLO as
+    # constants, which the axon remote-compile transport rejects
+    # (HTTP 413 request-size limit).
+    def enc_fn(f, vs, _k):
+        enc = model.apply(vs, f, feat_lens, method=Transducer.encode,
                           rngs={"dropout": _k}, mutable=False, train=False)
         return f + enc.sum() * 1e-20, enc.sum()
-    rows.append(("encoder fwd", chain_time(jax, jnp, enc_fn, (feats, key))))
+    rows.append(("encoder fwd",
+                 chain_time(jax, jnp, enc_fn, (feats, variables, key))))
 
     # 3. encoder fwd+bwd (grad wrt params of a scalar of encoder output)
     params = variables["params"]
+    nonparams = {k_: v_ for k_, v_ in variables.items() if k_ != "params"}
 
-    def encg_fn(f, p):
+    def encg_fn(f, nonp, p):
         def loss(p_):
-            vs = {**variables, "params": p_}
+            vs = {**nonp, "params": p_}
             enc = model.apply(vs, f, feat_lens, method=Transducer.encode,
                               train=False)
             return enc.sum()
@@ -132,15 +138,15 @@ def main():
         gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
         return f + gsum * 1e-20, gsum
     rows.append(("encoder fwd+bwd (eval mode, no dropout)",
-                 chain_time(jax, jnp, encg_fn, (feats, params))))
+                 chain_time(jax, jnp, encg_fn, (feats, nonparams, params))))
 
     # 3b. encoder fwd+bwd in TRAIN mode — what the step actually pays:
     # includes dropout mask generation ((B,H,T,T) random bits per
     # transformer layer when attention dropout is on) and BatchNorm
     # batch-statistics mode
-    def encg_train_fn(f, p):
+    def encg_train_fn(f, nonp, p):
         def loss(p_):
-            vs = {**variables, "params": p_}
+            vs = {**nonp, "params": p_}
             enc = model.apply(vs, f, feat_lens, method=Transducer.encode,
                               train=True, rngs={"dropout": key},
                               mutable=["batch_stats"])[0]
@@ -149,7 +155,7 @@ def main():
         gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
         return f + gsum * 1e-20, gsum
     rows.append(("encoder fwd+bwd (train mode, dropout+BN)",
-                 chain_time(jax, jnp, encg_train_fn, (feats, params))))
+                 chain_time(jax, jnp, encg_train_fn, (feats, nonparams, params))))
 
     # 4. loss fwd+bwd at the step's joint shapes (T'=250)
     tp = 250
