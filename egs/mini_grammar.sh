@@ -130,6 +130,13 @@ wer_of base python -m pika_tpu.train.eval_transducer \
     --ref_labels ark:$data/test/label.txt $decode_flags
 
 echo "=== stage 4b: tune fst_lm_scale on DEV, decode TEST with FST fusion ==="
+# FST_SCALE env: reuse a scale already dev-tuned by another seed —
+# fixed hyperparameters across seeds make the reported spread pure
+# training-seed variance (and skip ~5 dev decodes per extra seed)
+if [ -n "$FST_SCALE" ]; then
+    best_scale=$FST_SCALE
+    echo "chosen fst_lm_scale $best_scale (reused, tuned by seed 1)" | tee -a $results
+else
 wer_of dev_base python -m pika_tpu.train.eval_transducer \
     $model $dev/test/wav.scp $exp/nbest_dev_base.txt \
     --ref_labels ark:$dev/test/label.txt $decode_flags
@@ -160,6 +167,7 @@ if [ -z "$best_scale" ]; then
     exit 1
 fi
 echo "chosen fst_lm_scale $best_scale (dev WER $best_wer)" | tee -a $results
+fi
 wer_of base_fst python -m pika_tpu.train.eval_transducer \
     $model $data/test/wav.scp $exp/nbest_fst.txt \
     --ref_labels ark:$data/test/label.txt \
@@ -216,6 +224,10 @@ echo "=== stage 7a: tune LAS rescoring scales on DEV (one decode, sweep) ==="
 # the reference hardcodes 1.0/0.3/0.7 (egs/local/nbest_rerank.py:53-58);
 # here the fw:bw pair is tuned on the held-out dev corpus in the full-
 # stack (FST-fused) context — one decode, every pair reranked in-process
+if [ -n "$LAS_PAIR" ] && ! grep -q "chosen las_scales" $exp/las_sweep.note 2>/dev/null; then
+    # reuse the fw:bw pair dev-tuned by seed 1 (see FST_SCALE note)
+    echo "chosen las_scales $LAS_PAIR (reused, tuned by seed 1)" > $exp/las_sweep.note
+fi
 if ! grep -q "chosen las_scales" $exp/las_sweep.note 2>/dev/null; then
     timeout 1500 python -m pika_tpu.train.eval_transducer \
         $mbr_model $dev/test/wav.scp $exp/nbest_dev_las.txt \
@@ -252,6 +264,10 @@ wer_of mbr_las_fst python -m pika_tpu.train.eval_transducer \
 echo "=== stage 9a: tune fst_lm_scale for PER-TOKEN fusion on DEV ==="
 # per-candidate fusion changes the effective LM strength (the LM picks
 # tokens, not just beams), so its scale is tuned separately
+if [ -n "$PT_SCALE" ]; then
+    pt_scale=$PT_SCALE
+    echo "chosen pt fst_lm_scale $pt_scale (reused, tuned by seed 1)" | tee -a $results
+else
 pt_scale=""; pt_best=1e9
 for s in 0.4 0.8 1.2 1.6; do
     if ! grep -qE "%WER" $exp/decode_devpt$s.out 2>/dev/null; then
@@ -274,6 +290,7 @@ for s in 0.4 0.8 1.2 1.6; do
 done
 [ -z "$pt_scale" ] && pt_scale=$best_scale
 echo "chosen pt fst_lm_scale $pt_scale (dev WER $pt_best)" | tee -a $results
+fi
 
 echo "=== stage 9: per-token fusion (--fst_per_token) decodes ==="
 # per-candidate LM advance at selection time (the reference's
