@@ -35,6 +35,10 @@ import os as _os
 # (BASELINE.md round 3): 8/16/24/32 -> 79.8/82.5/84.2/84.9 utt/s; the
 # headline default is the throughput-optimal 32.
 BATCH = int(_os.environ.get("BENCH_BATCH", "32"))
+# BENCH_RNG=rbg measures the TPU hardware-RNG dropout path (the
+# trainers' --rng_impl rbg; see common.configure_rng): threefry mask
+# bits cost ~67 ms of the 372 ms batch-32 step (round-4 profile).
+_RNG_IMPL = _os.environ.get("BENCH_RNG", "threefry2x32")
 SECONDS = 10.0
 SR = 16000
 VOCAB = 6268
@@ -103,6 +107,9 @@ def wait_for_transport(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
 def main():
     import jax
     import jax.numpy as jnp
+
+    if _RNG_IMPL != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", _RNG_IMPL)
 
     from pika_tpu.features import FbankConfig
     from pika_tpu.models import TransducerConfig, init_transducer

@@ -49,6 +49,31 @@ def maybe_distributed_init(args):
     return jax.process_index(), jax.process_count()
 
 
+def configure_rng(args) -> None:
+    """Select the PRNG implementation behind ``jax.random.PRNGKey``.
+
+    ``--rng_impl rbg`` routes random-bit generation (dropout masks,
+    dither, SpecAugment spans) through XLA's RngBitGenerator — the TPU
+    hardware RNG — instead of threefry2x32's ALU lattice.  At flagship
+    batch 32 the threefry dropout masks cost ~67 ms of the 372 ms train
+    step (BASELINE.md round-4 profile); rbg generates the same-shaped
+    unbiased masks at near-zero cost.  rbg keys still split/fold_in via
+    threefry (so per-step key derivation stays well-mixed); only the
+    bits draw changes.  threefry remains the default because its bit
+    streams are reproducible across backends and XLA versions — the
+    deterministic recipes (egs/mini_*.sh) rely on that; rbg runs are
+    deterministic per backend+version but not across them.
+
+    Must be called before any jit tracing; the impl is baked into
+    traced programs at trace time.
+    """
+    impl = getattr(args, "rng_impl", "threefry2x32")
+    if impl != "threefry2x32":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 def host_key(key):
     """A PRNG key as host numpy, safe to feed a multi-host jit.
 
@@ -147,6 +172,15 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--num_batches_per_epoch", type=int, default=1000)
     parser.add_argument("--log_per_n_frames", type=int, default=1024 * 1024)
     parser.add_argument("--seed", type=int, default=777)
+    parser.add_argument("--rng_impl", type=str, default="threefry2x32",
+                        choices=["threefry2x32", "rbg"],
+                        help="PRNG behind dropout/dither/SpecAugment "
+                             "masks.  rbg = TPU hardware RngBitGenerator "
+                             "(recovers ~18%% of the flagship train step "
+                             "vs threefry's ALU-heavy bits; BASELINE.md "
+                             "round-4 profile); threefry = bit-exact "
+                             "reproducibility across backends (the "
+                             "deterministic recipes pin it)")
     # distributed strategy (replaces torch.distributed.launch + BMUF flags)
     parser.add_argument("--dp_mode", type=str, default="sync",
                         choices=["sync", "bmuf", "blockadam", "bmufadam"])

@@ -65,6 +65,7 @@ def main(argv=None):
     from pika_tpu.utils.platform import honor_platforms_env
 
     honor_platforms_env()
+    common.configure_rng(args)
     enable_compilation_cache()
     if not args.init_model:
         raise SystemExit("MBR training requires --init_model (an RNN-T bundle)")

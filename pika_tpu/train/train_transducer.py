@@ -187,6 +187,7 @@ def main(argv=None):
     from pika_tpu.utils.platform import honor_platforms_env
 
     honor_platforms_env()
+    common.configure_rng(args)
     enable_compilation_cache()
     proc_id, n_proc = common.maybe_distributed_init(args)
     is_main = proc_id == 0

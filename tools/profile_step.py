@@ -61,11 +61,18 @@ def main():
                     help="query-block chunked attention (never materializes "
                          "(B,H,T,T) scores in HBM)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--rng_impl", type=str, default="threefry2x32",
+                    choices=["threefry2x32", "rbg"],
+                    help="rbg = TPU hardware RngBitGenerator for mask "
+                         "bits (the trainers' --rng_impl rbg)")
     args = ap.parse_args()
     B = args.batch
 
     import jax
     import jax.numpy as jnp
+
+    if args.rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     from pika_tpu.features import FbankConfig
     from pika_tpu.models import TransducerConfig, init_transducer
@@ -197,7 +204,7 @@ def main():
 
     full = rows[-1][1]
     print(f"\nbatch {B}, 10s utts, flagship config, dropout {args.dropout}, "
-          f"attn_chunk {args.attn_chunk}:")
+          f"attn_chunk {args.attn_chunk}, rng {args.rng_impl}:")
     for name, t in rows:
         print(f"  {name:45s} {t * 1000:8.1f} ms  ({t / full * 100:5.1f}% of step)")
     known = rows[0][1] + rows[3][1] + rows[4][1]
