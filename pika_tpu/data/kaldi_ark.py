@@ -55,8 +55,8 @@ def read_kaldi_object(f) -> np.ndarray:
             dtype = "<f4" if tok == "FV" else "<f8"
             n = _read_basic_int(f)
             return np.frombuffer(f.read(n * np.dtype(dtype).itemsize), dtype=dtype).astype(np.float32)
-        if tok == "CM":
-            raise NotImplementedError("compressed Kaldi matrices not supported")
+        if tok in ("CM", "CM2", "CM3"):
+            return _read_compressed(f, tok)
         raise ValueError(f"unknown Kaldi binary object {tok!r}")
     # text object: read until the closing bracket.  The 2-byte binary
     # probe may already contain the opening '[' — count brackets in it
@@ -83,6 +83,110 @@ def read_kaldi_object(f) -> np.ndarray:
             depth -= 1
     rows = [r for r in text.replace("[", " ").replace("]", " ").splitlines() if r.strip()]
     return np.array([[float(x) for x in r.split()] for r in rows], dtype=np.float32)
+
+
+def _read_compressed(f, tok: str) -> np.ndarray:
+    """Decode a Kaldi CompressedMatrix payload positioned after its token.
+
+    Layout per kaldi/src/matrix/compressed-matrix.cc: ``Write`` emits the
+    format token ("CM" = one-byte-with-column-headers, "CM2" = two-byte,
+    "CM3" = one-byte) followed by the GlobalHeader minus its leading
+    format int32 — ``float min_value, float range, int32 num_rows, int32
+    num_cols`` — then the payload.  "CM" stores 8 bytes of per-column
+    uint16 percentiles (p0/p25/p75/p100, each scaled into
+    [min, min+range] by u/65535) followed by column-major uint8 codes
+    decoded piecewise-linearly between the percentiles (``CharToFloat``:
+    0-64 -> [p0,p25], 64-192 -> [p25,p75], 192-255 -> [p75,p100]).
+    "CM2" stores row-major uint16 codes (u/65535 of the global range);
+    "CM3" row-major uint8 codes (u/255).
+    """
+    min_value, rng = struct.unpack("<ff", f.read(8))
+    rows, cols = struct.unpack("<ii", f.read(8))
+    if rows < 0 or cols < 0:
+        raise ValueError(f"corrupt compressed matrix header {rows}x{cols}")
+    if tok == "CM2":
+        data = np.frombuffer(f.read(rows * cols * 2), dtype="<u2")
+        return (min_value + rng * (1.0 / 65535.0) * data.astype(np.float32)
+                ).reshape(rows, cols)
+    if tok == "CM3":
+        data = np.frombuffer(f.read(rows * cols), dtype=np.uint8)
+        return (min_value + rng * (1.0 / 255.0) * data.astype(np.float32)
+                ).reshape(rows, cols)
+    # "CM": per-column percentile headers, then column-major uint8 codes.
+    pch = np.frombuffer(f.read(cols * 8), dtype="<u2").reshape(cols, 4)
+    perc = (min_value + rng * (1.0 / 65535.0) * pch.astype(np.float32))
+    codes = np.frombuffer(f.read(cols * rows), dtype=np.uint8).reshape(cols, rows)
+    c = codes.astype(np.float32)
+    p0, p25, p75, p100 = (perc[:, i : i + 1] for i in range(4))
+    low = p0 + (p25 - p0) * (c * (1.0 / 64.0))
+    mid = p25 + (p75 - p25) * ((c - 64.0) * (1.0 / 128.0))
+    high = p75 + (p100 - p75) * ((c - 192.0) * (1.0 / 63.0))
+    out = np.where(codes <= 64, low, np.where(codes <= 192, mid, high))
+    return np.ascontiguousarray(out.T)
+
+
+def _float_to_uint16(min_value: float, rng: float, x: np.ndarray) -> np.ndarray:
+    # compressed-matrix.cc FloatToUint16: scale into [0,65535] with the
+    # +0.5 round and the exact-65535 guard for values at the range top.
+    f = (x - min_value) / (rng if rng > 0 else 1.0)
+    return np.clip(f * 65535.0 + 0.499, 0.0, 65535.0).astype("<u2")
+
+
+def compress_matrix(mat: np.ndarray, fmt: int = 1) -> bytes:
+    """Compress per Kaldi's CompressedMatrix formats (1="CM", 2="CM2",
+    3="CM3"), returning the token+payload bytes as ``Write`` emits them
+    (everything after the "\\0B" binary marker).  Used for interchange
+    tests and for writing Kaldi-readable compressed archives."""
+    mat = np.asarray(mat, np.float32)
+    rows, cols = mat.shape
+    min_value = float(mat.min()) if mat.size else 0.0
+    rng = (float(mat.max()) - min_value) if mat.size else 1.0
+    if rng <= 0:
+        rng = 1.0
+    header = struct.pack("<ffii", min_value, rng, rows, cols)
+    if fmt == 2:
+        codes = _float_to_uint16(min_value, rng, mat)
+        return b"CM2 " + header + codes.astype("<u2").tobytes()
+    if fmt == 3:
+        f = (mat - min_value) / rng
+        codes = np.clip(f * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+        return b"CM3 " + header + codes.tobytes()
+    if fmt != 1:
+        raise ValueError(f"unknown compression format {fmt}")
+    # format 1: per-column percentiles from sorted codes (ComputeColHeader
+    # uses order statistics at 0/25/75/100% with minimum separations).
+    pchs = []
+    payload = []
+    for j in range(cols):
+        col = np.sort(_float_to_uint16(min_value, rng, mat[:, j]).astype(np.int64))
+        n = rows
+        if n:
+            q25 = min(col[n // 4], 65532)
+            q75 = min(max(col[(3 * n) // 4], q25 + 1), 65533)
+            p0 = min(col[0], q25 - 1 if q25 > 0 else 0)
+            p0 = max(p0, 0)
+            q25 = max(q25, p0 + 1)
+            q75 = max(q75, q25 + 1)
+            p100 = max(col[-1], q75 + 1)
+            p100 = min(p100, 65535)
+        else:
+            p0, q25, q75, p100 = 0, 1, 2, 3
+        pchs.append(struct.pack("<HHHH", p0, q25, q75, p100))
+        f0, f25, f75, f100 = (min_value + rng * (v / 65535.0)
+                              for v in (p0, q25, q75, p100))
+        x = mat[:, j]
+        codes = np.empty(rows, np.uint8)
+        lo = x <= f25
+        hi = x >= f75
+        mi = ~(lo | hi)
+        d25 = (f25 - f0) or 1.0
+        d75 = (f75 - f25) or 1.0
+        d100 = (f100 - f75) or 1.0
+        codes[lo] = np.clip((x[lo] - f0) / d25 * 64.0 + 0.5, 0, 64)
+        codes[mi] = np.clip(64.0 + (x[mi] - f25) / d75 * 128.0 + 0.5, 64, 192)
+        codes[hi] = np.clip(192.0 + (x[hi] - f75) / d100 * 63.0 + 0.5, 192, 255)
+        payload.append(codes.tobytes())
+    return b"CM " + header + b"".join(pchs) + b"".join(payload)
 
 
 def iter_matrix_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:

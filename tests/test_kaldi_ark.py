@@ -76,3 +76,46 @@ def test_read_wav_24bit_left_aligned(tmp_path):
     assert pcm.dtype == np.int32
     np.testing.assert_array_equal(
         pcm, np.array([0x12345600, -0x80000000, 0x7FFFFF00], np.int64).astype(np.int32))
+
+
+def test_compressed_matrix_formats(tmp_path, rng):
+    # Kaldi CompressedMatrix ("CM"/"CM2"/"CM3") decode, pinned by a
+    # compressor written from the same compressed-matrix.cc spec: the
+    # round-trip error must stay within each format's quantization step,
+    # and a record must coexist with uncompressed records in one ark.
+    from pika_tpu.data.kaldi_ark import compress_matrix, read_kaldi_object
+    import io
+
+    mat = (rng.standard_normal((50, 13)) * 4.0).astype(np.float32)
+    span = float(mat.max() - mat.min())
+    for fmt, tol in ((1, span / 63.0), (2, span / 65535.0 * 1.01), (3, span / 255.0)):
+        buf = io.BytesIO(b"\0B" + compress_matrix(mat, fmt))
+        got = read_kaldi_object(buf)
+        assert got.shape == mat.shape and got.dtype == np.float32
+        assert np.max(np.abs(got - mat)) <= tol, (fmt, np.max(np.abs(got - mat)))
+    # format-1 piecewise decode: inner quartiles get the fine 128-step
+    # resolution, so the bulk of a gaussian column is much tighter than
+    # the worst-case tail tolerance above
+    buf = io.BytesIO(b"\0B" + compress_matrix(mat, 1))
+    got = read_kaldi_object(buf)
+    q25, q75 = np.quantile(mat, [0.3, 0.7])
+    inner = (mat > q25) & (mat < q75)
+    assert np.max(np.abs((got - mat)[inner])) <= span / 2 / 128.0 * 1.5
+
+
+def test_compressed_in_mixed_ark(tmp_path, rng):
+    from pika_tpu.data.kaldi_ark import compress_matrix, iter_matrix_ark
+    import struct
+
+    m1 = rng.standard_normal((7, 5)).astype(np.float32)
+    m2 = (rng.standard_normal((9, 5)) * 2).astype(np.float32)
+    ark = tmp_path / "mixed.ark"
+    with open(ark, "wb") as f:
+        f.write(b"uttA \0BFM ")
+        f.write(bytes([4]) + struct.pack("<i", 7) + bytes([4]) + struct.pack("<i", 5))
+        f.write(m1.astype("<f4").tobytes())
+        f.write(b"uttB \0B" + compress_matrix(m2, 1))
+    got = dict(iter_matrix_ark(str(ark)))
+    np.testing.assert_array_equal(got["uttA"], m1)
+    span = float(m2.max() - m2.min())
+    assert np.max(np.abs(got["uttB"] - m2)) <= span / 63.0
