@@ -146,7 +146,7 @@ for s in 0.2 0.4 0.8 1.2; do
         timeout 1500 python -m pika_tpu.train.eval_transducer \
             $model $dev/test/wav.scp $exp/nbest_dev_fst$s.txt \
             --ref_labels ark:$dev/test/label.txt \
-            --fst_lm $data/lm.arpa --fst_lm_scale $s \
+            --fst_lm $data/lm.arpa --fst_lm_scale $s --fst_fusion per_beam \
             --symbols_map $data/char.txt \
             $decode_flags > $exp/decode_devfst$s.out 2>&1 || true
     fi
@@ -171,7 +171,7 @@ fi
 wer_of base_fst python -m pika_tpu.train.eval_transducer \
     $model $data/test/wav.scp $exp/nbest_fst.txt \
     --ref_labels ark:$data/test/label.txt \
-    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_fusion per_beam \
     --symbols_map $data/char.txt $decode_flags
 
 aug_flags="--feats_dim 40 --lctx 1 --rctx 1 --stride 1
@@ -197,7 +197,7 @@ wer_of mbr python -m pika_tpu.train.eval_transducer \
 wer_of mbr_fst python -m pika_tpu.train.eval_transducer \
     $mbr_model $data/test/wav.scp $exp/nbest_mbr_fst.txt \
     --ref_labels ark:$data/test/label.txt \
-    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_fusion per_beam \
     --symbols_map $data/char.txt $decode_flags
 
 echo "=== stage 6: LAS forward + backward rescorer training (seed $SEED) ==="
@@ -232,7 +232,7 @@ if ! grep -q "chosen las_scales" $exp/las_sweep.note 2>/dev/null; then
     timeout 1500 python -m pika_tpu.train.eval_transducer \
         $mbr_model $dev/test/wav.scp $exp/nbest_dev_las.txt \
         --ref_labels ark:$dev/test/label.txt $las_flags \
-        --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+        --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_fusion per_beam \
         --symbols_map $data/char.txt \
         --las_scale_sweep "0.05:0.05,0.1:0.1,0.2:0.2,0.3:0.3,0.5:0.5,0.3:0.7,0.7:0.3,0.15:0.35" \
         $decode_flags > $exp/decode_dev_las.out 2>&1 || true
@@ -258,7 +258,7 @@ wer_of mbr_las_fst python -m pika_tpu.train.eval_transducer \
     $mbr_model $data/test/wav.scp $exp/nbest_full.txt \
     --ref_labels ark:$data/test/label.txt $las_flags \
     --las_fw_score_scale $las_fw_scale --las_bw_score_scale $las_bw_scale \
-    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale \
+    --fst_lm $data/lm.arpa --fst_lm_scale $best_scale --fst_fusion per_beam \
     --symbols_map $data/char.txt $decode_flags
 
 echo "=== stage 9a: tune fst_lm_scale for PER-TOKEN fusion on DEV ==="

@@ -275,3 +275,21 @@ def test_full_recipe(tmp_path, rng):
         "--output_scores",
     ])
     assert wer2 is not None and wer2 < 0.3, f"WER with LAS rescoring too high: {wer2}"
+
+
+def test_fusion_default_is_per_token():
+    """Per-token fusion is the CLI default (the reference's semantics,
+    beam_transducer.py:136-159; grammar matrix: wins 2.6-2.7 WER points
+    absolute over per-beam on both AMs).  --fst_fusion per_beam selects
+    the cheap prefix-bias variant; --fst_per_token stays as an alias."""
+    from pika_tpu.train.eval_transducer import build_parser
+
+    base = ["m", "wav.scp", "out.txt"]
+    p = build_parser()
+    a = p.parse_args(base)
+    assert a.fst_fusion == "per_token" and not a.fst_per_token
+    assert a.fst_per_token or a.fst_fusion == "per_token"  # resolution: pt
+    a = p.parse_args(base + ["--fst_fusion", "per_beam"])
+    assert not (a.fst_per_token or a.fst_fusion == "per_token")  # per-beam
+    a = p.parse_args(base + ["--fst_fusion", "per_beam", "--fst_per_token"])
+    assert a.fst_per_token or a.fst_fusion == "per_token"  # alias wins

@@ -13,6 +13,8 @@ every speed-perturbed variant still lands in the 10 s bucket), labels in
 the 32-bucket vs bench.py's fixed U=40.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import re
 import time

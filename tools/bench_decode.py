@@ -7,6 +7,8 @@ egs/eval_transducer.sh:18-20).  Run on the real chip:
     PYTHONPATH=. python tools/bench_decode.py [--batch 8] [--beam 8]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 

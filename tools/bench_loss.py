@@ -4,6 +4,8 @@ flagship joint shape, dependency-chained timing on the real chip.
     PYTHONPATH=. python tools/bench_loss.py [--mode fwd|fwdbwd]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 

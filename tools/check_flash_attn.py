@@ -7,6 +7,8 @@ grad, then times both.  Run on the TPU:
     PYTHONPATH=. python tools/check_flash_attn.py [--batch 32] [--t 960]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -2,6 +2,8 @@
 throughput, H2D transfer cost, and per-dispatch train-step latency
 (Python-loop dispatches vs the scan-chained bench.py pattern)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -17,6 +17,8 @@ Usage:  PYTHONPATH=. python tools/gen_torch_golden.py
 Writes tests/golden/rnnt_tiny_torch.npz
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import torch
 

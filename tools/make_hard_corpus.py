@@ -18,6 +18,8 @@ Writes OUTDIR/{train,test}/{wav.scp,label.txt}, OUTDIR/noise.{mrk,seq}.0 +
 OUTDIR/noise.lst, OUTDIR/char.txt.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import os
 

@@ -15,6 +15,8 @@ against the symbol inventory and mapped back to ids.
 """
 
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import re
 import sys

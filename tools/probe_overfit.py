@@ -5,6 +5,8 @@ from task difficulty.
     PYTHONPATH=.:... python tools/probe_overfit.py CORPUS_DIR --encoder rnn|transformer
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -4,6 +4,8 @@ channel kernels directly (fwd, and the two bwd kernels), chained.
     PYTHONPATH=. python tools/sweep_loss_blocks.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import itertools
 import time
 
