@@ -35,10 +35,13 @@ import os as _os
 # (BASELINE.md round 3): 8/16/24/32 -> 79.8/82.5/84.2/84.9 utt/s; the
 # headline default is the throughput-optimal 32.
 BATCH = int(_os.environ.get("BENCH_BATCH", "32"))
-# BENCH_RNG=rbg measures the TPU hardware-RNG dropout path (the
-# trainers' --rng_impl rbg; see common.configure_rng): threefry mask
-# bits cost ~67 ms of the 372 ms batch-32 step (round-4 profile).
-_RNG_IMPL = _os.environ.get("BENCH_RNG", "threefry2x32")
+# BENCH_RNG selects the dropout-RNG path; "auto" (default) matches the
+# trainers' --rng_impl auto: TPU hardware RngBitGenerator on
+# accelerators, threefry on CPU (see common.configure_rng).  threefry
+# mask bits cost ~67 ms of the 372 ms batch-32 step (round-4 profile);
+# rbg measured 95.4 vs 85.4 utt/s.  BENCH_RNG=threefry2x32 reproduces
+# the round-3 configuration.
+_RNG_IMPL = _os.environ.get("BENCH_RNG", "auto")
 SECONDS = 10.0
 SR = 16000
 VOCAB = 6268
@@ -108,8 +111,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    if _RNG_IMPL != "threefry2x32":
-        jax.config.update("jax_default_prng_impl", _RNG_IMPL)
+    rng_impl = _RNG_IMPL
+    if rng_impl == "auto":
+        rng_impl = "threefry2x32" if jax.default_backend() == "cpu" else "rbg"
+    if rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", rng_impl)
 
     from pika_tpu.features import FbankConfig
     from pika_tpu.models import TransducerConfig, init_transducer

@@ -87,7 +87,8 @@ model_flags="--encoder_type transformer --enc_layers 9
     --speed_rate 0.96,1.0,1.04 --gain_range 55,10
     --grad_clip 3.0 --momentum 0.9
     --num_batches_per_epoch 94 --batch_size 16 --max_wav_seconds 4.0
-    --dp_mode sync --num_devices 1 --seed $SEED"
+    --dp_mode sync --num_devices 1 --seed $SEED
+    --rng_impl threefry2x32"
 
 echo "=== stage 3a: RNN-T warm-up, clean augmentation (20 epochs, seed $SEED) ==="
 [ -d $exp/model.epoch.19 ] || python -m pika_tpu.train.train_transducer \
@@ -176,7 +177,8 @@ wer_of base_fst python -m pika_tpu.train.eval_transducer \
 
 aug_flags="--feats_dim 40 --lctx 1 --rctx 1 --stride 1
     --speed_rate 0.96,1.0,1.04 --gain_range 55,10
-    --noise_lst $data/noise.lst --snr_range 10,30 --max_wav_seconds 4.0"
+    --noise_lst $data/noise.lst --snr_range 10,30 --max_wav_seconds 4.0
+    --rng_impl threefry2x32"
 
 echo "=== stage 5: MBR fine-tuning (seed $SEED) ==="
 mkdir -p $exp/mbr

@@ -108,3 +108,19 @@ def test_train_step_runs_under_rbg(rbg_default):
     loss = float(metrics["loss"])
     assert np.isfinite(loss) and loss > 0
     assert int(new_state.step) == 1
+
+def test_configure_rng_auto_resolution():
+    # auto = rbg on accelerators, threefry on CPU (the test backend):
+    # the default must leave the CPU suite on reproducible threefry bits
+    import argparse
+
+    from pika_tpu.train import common
+
+    old = jax.config.jax_default_prng_impl
+    try:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        common.configure_rng(argparse.Namespace(rng_impl="auto"))
+        expect = "threefry2x32" if jax.default_backend() == "cpu" else "rbg"
+        assert jax.config.jax_default_prng_impl == expect
+    finally:
+        jax.config.update("jax_default_prng_impl", old)
