@@ -497,6 +497,10 @@ def beam_search_features(model, variables, feats, feat_lens, cfg: BeamConfig,
     out = beam_search(model, variables, enc, enc_lens, cfg, fst_tables, fst_start)
     out["enc_out"] = enc
     out["enc_lens"] = enc_lens
+    # features also ride along for independent-encoder LAS rescoring
+    # (a rescorer whose input_dim is the feature dim, not the encoder's)
+    out["feats"] = feats
+    out["feat_lens"] = feat_lens
     return out
 
 
@@ -511,4 +515,6 @@ def beam_search_waveforms(model, variables, featurizer, wavs, wav_lens, cfg: Bea
     out = beam_search(model, variables, enc, enc_lens, cfg, fst_tables, fst_start)
     out["enc_out"] = enc
     out["enc_lens"] = enc_lens
+    out["feats"] = feats
+    out["feat_lens"] = feat_lens
     return out

@@ -40,7 +40,11 @@ def _build_targets(tokens, lens, sos: int, eos: int, pad: int, reverse: bool):
 def las_score_hyps(
     model: LAS,
     variables,
-    enc_out: jnp.ndarray,    # (B, T, C) shared transducer encoder output
+    enc_out: jnp.ndarray,    # (B, T, C) LAS encoder input: the shared
+                             # transducer encoder output (reference
+                             # configuration) OR decode features for an
+                             # independently-trained rescorer — whichever
+                             # matches model.config.input_dim
     enc_lens: jnp.ndarray,   # (B,)
     tokens: jnp.ndarray,     # (B, N, Um) -1/pad padded
     lens: jnp.ndarray,       # (B, N)

@@ -285,12 +285,29 @@ def main(argv=None):
             n_utts += len(chunk)
             out = decode(jnp.asarray(wavs), jnp.asarray(lens))
 
+            def las_input(m):
+                # shared-encoder rescorer (the reference's train_las_rescorer
+                # configuration) consumes the transducer encoder output; an
+                # independently-trained LAS (own encoder) consumes the decode
+                # features.  The rescorer's input_dim says which it is.
+                d = int(m.config.input_dim)
+                if d == out["enc_out"].shape[-1]:
+                    return out["enc_out"], out["enc_lens"]
+                if d == out["feats"].shape[-1]:
+                    return out["feats"], out["feat_lens"]
+                sys.exit(
+                    f"LAS rescorer input_dim {d} matches neither the "
+                    f"transducer encoder output ({out['enc_out'].shape[-1]}) "
+                    f"nor the decode features ({out['feats'].shape[-1]}); "
+                    "decode feature flags must match the rescorer's training")
+
             fw_scores = bw_scores = None
             fw_tok = bw_tok = None
             if las_fw is not None:
                 m, v, _ = las_fw
+                src, src_lens = las_input(m)
                 fw_scores, fw_tok = las_score_hyps(
-                    m, v, out["enc_out"], out["enc_lens"], out["tokens"],
+                    m, v, src, src_lens, out["tokens"],
                     out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
                     eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
                 )
@@ -301,8 +318,9 @@ def main(argv=None):
                 fw_tok = np.asarray(fw_tok) if args.output_scores else None
             if las_bw is not None:
                 m, v, _ = las_bw
+                src, src_lens = las_input(m)
                 bw_scores, bw_tok = las_score_hyps(
-                    m, v, out["enc_out"], out["enc_lens"], out["tokens"],
+                    m, v, src, src_lens, out["tokens"],
                     out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
                     eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
                     reverse=True,

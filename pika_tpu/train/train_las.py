@@ -74,9 +74,11 @@ def main(argv=None):
     from pika_tpu.utils.platform import honor_platforms_env
 
     honor_platforms_env()
-    common.configure_rng(args)
     enable_compilation_cache()
     proc_id, n_proc = common.maybe_distributed_init(args)
+    # after distributed init: auto-resolving the RNG impl queries the
+    # backend, which must not initialize XLA before initialize()
+    common.configure_rng(args)
     is_main = proc_id == 0  # noqa: F841 — kept for symmetry; saves are collective
     if args.num_devices is None:
         # all visible devices, matching train_transducer and the

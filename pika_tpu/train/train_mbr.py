@@ -65,11 +65,13 @@ def main(argv=None):
     from pika_tpu.utils.platform import honor_platforms_env
 
     honor_platforms_env()
-    common.configure_rng(args)
     enable_compilation_cache()
     if not args.init_model:
         raise SystemExit("MBR training requires --init_model (an RNN-T bundle)")
     proc_id, n_proc = common.maybe_distributed_init(args)
+    # after distributed init: auto-resolving the RNG impl queries the
+    # backend, which must not initialize XLA before initialize()
+    common.configure_rng(args)
     is_main = proc_id == 0  # noqa: F841 — kept for symmetry; saves are collective
     # single-device default preserves the one-chip flagship behavior; a
     # multi-host launch spans every device in the pod unless told otherwise

@@ -276,6 +276,42 @@ def test_full_recipe(tmp_path, rng):
     ])
     assert wer2 is not None and wer2 < 0.3, f"WER with LAS rescoring too high: {wer2}"
 
+    # 8) independent-encoder LAS rescoring: the rescorer trains its OWN
+    #    encoder over features (no --shared_encoder_model); at decode the
+    #    CLI must feed it features, not the transducer encoder output
+    #    (input_dim disambiguates — see eval_transducer las_input)
+    os.makedirs(f"{d}/exp_las_ind", exist_ok=True)
+    las_main([
+        f"{d}/data.lst", f"{d}/las_ind.log", f"{d}/exp_las_ind",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--SOS", "0", "--EOS", str(VOCAB), "--padding_tgt", str(VOCAB + 1),
+        "--padding_idx", str(VOCAB + 1), "--output_dim", str(VOCAB + 1),
+        "--enc_layers", "1", "--dec_layers", "1", "--rnn_size", "48",
+        "--embd_dim", "16", "--dropout", "0.0",
+        "--global_attention", "mlp",
+        "--optim", "adam", "--initial_lr", "0.005", "--final_lr", "0.005",
+        "--num_epochs", "2", "--num_batches_per_epoch", "3",
+        "--num_devices", "2",
+    ])
+    las_ind_dir = f"{d}/exp_las_ind/model.epoch.1"
+    assert os.path.exists(f"{las_ind_dir}/model.json")
+    wer3 = eval_main([
+        model_dir, f"{d}/wav.scp", f"{d}/nbest_las_ind.txt",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--ref_labels", f"ark:{d}/label.txt",
+        "--beam_size", "4", "--n_best", "4", "--max_symbols", "8",
+        "--SOS", "0", "--EOS", str(VOCAB),
+        "--las_rescorer_model", las_ind_dir,
+        "--las_fw_score_scale", "0.05",
+        "--output_scores",
+    ])
+    assert wer3 is not None and wer3 < 0.3, \
+        f"WER with independent-LAS rescoring too high: {wer3}"
+
 
 def test_fusion_default_is_per_token():
     """Per-token fusion is the CLI default (the reference's semantics,
