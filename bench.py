@@ -114,8 +114,9 @@ def main():
     rng_impl = _RNG_IMPL
     if rng_impl == "auto":
         rng_impl = "threefry2x32" if jax.default_backend() == "cpu" else "rbg"
-    if rng_impl != "threefry2x32":
-        jax.config.update("jax_default_prng_impl", rng_impl)
+    # unconditional: an explicit threefry pin must override any ambient
+    # JAX_DEFAULT_PRNG_IMPL (ADVICE r4)
+    jax.config.update("jax_default_prng_impl", rng_impl)
 
     from pika_tpu.features import FbankConfig
     from pika_tpu.models import TransducerConfig, init_transducer

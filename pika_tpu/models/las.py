@@ -10,6 +10,9 @@ batched matmul against the whole encoder context.
 Covered features (flags of train_las_bmuf_otfaug.py:363-470):
   * dot / general / mlp (Bahdanau) attention with length masking
     (modules/global_attention.py:41-248)
+  * coverage attention (global_attention.py:116-117,196-199 +
+    las.py:670-673): keys see the accumulated attention mass from the
+    second step on
   * source/target/both context gates (modules/context_gate.py)
   * pyramid downsampler (las.py:190-245)
   * scheduled sampling (InputFeedSamplingRNNDecoder, las.py:705-804)
@@ -45,6 +48,7 @@ class LASConfig:
     brnn: bool = False
     dropout: float = 0.0
     attn_type: str = "mlp"              # 'dot' | 'general' | 'mlp'
+    coverage_attn: bool = False         # global_attention.py:116-117,196-199
     rnn_type: str = "LSTM"              # 'LSTM' | 'SRU' (las.py:533-541)
     context_gate: Optional[str] = None  # None | 'source' | 'target' | 'both'
     use_downsampler: bool = False
@@ -134,6 +138,11 @@ class LAS(nn.Module):
         self.attn_out_w = self.param("attn_linear_out", init_d, (2 * h, h))
         if cfg.attn_type == "mlp":
             self.attn_out_b = self.param("attn_linear_out_b", nn.initializers.zeros, (h,))
+        if cfg.coverage_attn:
+            # linear_cover: Linear(1, dim, bias=False)
+            # (global_attention.py:116-117) — projects each source
+            # position's accumulated attention mass into the key space
+            self.attn_cover_w = self.param("attn_linear_cover", init_d, (1, h))
         # context gate parameters
         if cfg.context_gate:
             in_dim = cfg.embd_dim + h  # gate sees [emb; feed] like _input_size
@@ -146,10 +155,23 @@ class LAS(nn.Module):
 
     # -- attention / gate as pure functions ------------------------------
 
-    def _attend(self, query, context, ctx_pre, context_lengths):
+    def _attend(self, query, context, ctx_pre, context_lengths,
+                cover=None, cover_active=True):
         """query (B, H); context (B, T, H); ctx_pre = precomputed mlp
-        context projection (or None)."""
+        context projection (or None).  ``cover`` (B, T) is the accumulated
+        attention mass per source position; when coverage attention is on
+        and ``cover_active`` (the reference applies coverage only from the
+        second step — state.coverage starts None, las.py:644-645), the keys
+        become ``tanh(context + linear_cover(cover))``
+        (global_attention.py:196-199)."""
         cfg = self.config
+        if cfg.coverage_attn and cover is not None:
+            ctx_cov = jnp.tanh(context + cover[..., None] * self.attn_cover_w[0])
+            context = jnp.where(cover_active, ctx_cov, context)
+            if cfg.attn_type == "mlp":
+                # the precomputed projection was of the unmodified keys;
+                # coverage changes them per step, so reproject
+                ctx_pre = jnp.einsum("bth,ho->bto", context, self.attn_uc)
         if cfg.attn_type == "general":
             scores = jnp.einsum("bh,bth->bt", query @ self.attn_in, context)
         elif cfg.attn_type == "dot":
@@ -254,8 +276,10 @@ class LAS(nn.Module):
         use_sampling = sampling_key is not None
         key0 = sampling_key if sampling_key is not None else jax.random.PRNGKey(0)
 
+        cover0 = jnp.zeros((b, context.shape[1]), emb.dtype)
+
         def step(carry, inp):
-            h, c, feed, key = carry
+            h, c, feed, cover, key = carry
             emb_t, tok_t, idx = inp
             if use_sampling:
                 key, k1 = jax.random.split(key)
@@ -272,12 +296,20 @@ class LAS(nn.Module):
                 )
             emb_feed = jnp.concatenate([emb_t, feed], axis=-1)
             rnn_out, h, c = self._cells(emb_feed, h, c)
-            attn_out, attn = self._attend(rnn_out, context, ctx_pre, context_lengths)
+            attn_out, attn = self._attend(
+                rnn_out, context, ctx_pre, context_lengths,
+                cover=cover if cfg.coverage_attn else None,
+                cover_active=idx > 0,
+            )
+            if cfg.coverage_attn:
+                # coverage = coverage + attn (las.py:670-673; starting at
+                # zeros, step 0 leaves it == attn, the reference's init)
+                cover = cover + attn
             out = self._apply_gate(emb_feed, rnn_out, attn_out) if cfg.context_gate else attn_out
-            return (h, c, out, key), (out, attn)
+            return (h, c, out, cover, key), (out, attn)
 
-        (_, _, _, _), (outs, attns) = jax.lax.scan(
-            step, (h0, c0, feed0, key0),
+        (_, _, _, _, _), (outs, attns) = jax.lax.scan(
+            step, (h0, c0, feed0, cover0, key0),
             (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(tgt_in, 0, 1), jnp.arange(u)),
         )
         return jnp.swapaxes(outs, 0, 1), jnp.swapaxes(attns, 0, 1)

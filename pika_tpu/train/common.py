@@ -71,15 +71,14 @@ def configure_rng(args) -> None:
     Must be called before any jit tracing; the impl is baked into
     traced programs at trace time.
     """
+    import jax
+
     impl = getattr(args, "rng_impl", "auto")
     if impl == "auto":
-        import jax
-
         impl = "threefry2x32" if jax.default_backend() == "cpu" else "rbg"
-    if impl != "threefry2x32":
-        import jax
-
-        jax.config.update("jax_default_prng_impl", impl)
+    # Always set the resolved impl — an explicit threefry pin must win
+    # even when the ambient default was changed (JAX_DEFAULT_PRNG_IMPL).
+    jax.config.update("jax_default_prng_impl", impl)
 
 
 def host_key(key):

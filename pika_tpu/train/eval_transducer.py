@@ -29,6 +29,47 @@ from pika_tpu.train import common
 from pika_tpu.train.bundle import load_bundle
 
 
+def select_las_input(flag: str, meta: dict, input_dim: int,
+                     enc_dim: int, feat_dim: int) -> str:
+    """Which tensor the LAS rescorer consumes: ``"enc"`` (the transducer
+    encoder output — the reference's shared-encoder rescorer,
+    train_las_rescorer_bmuf_otfaug.sh) or ``"feats"`` (an
+    independently-trained LAS with its own encoder).
+
+    Dispatch order: the ``--las_input`` flag, then the bundle's recorded
+    ``las_input`` metadata (written by train_las), then ``input_dim``
+    matching.  An ambiguous dim tie with no recorded kind raises — it
+    must never be guessed silently (ADVICE r4); a kind whose dim doesn't
+    match the rescorer's input_dim also raises.
+    """
+    kind = flag
+    if kind == "auto":
+        kind = meta.get("las_input", "auto")
+    if kind == "auto":
+        if input_dim == enc_dim and input_dim == feat_dim:
+            raise ValueError(
+                f"LAS rescorer input_dim {input_dim} matches BOTH the "
+                "transducer encoder output and the decode features, and "
+                "the bundle records no las_input kind; pass "
+                "--las_input enc|feats")
+        if input_dim == enc_dim:
+            kind = "enc"
+        elif input_dim == feat_dim:
+            kind = "feats"
+        else:
+            raise ValueError(
+                f"LAS rescorer input_dim {input_dim} matches neither the "
+                f"transducer encoder output ({enc_dim}) nor the decode "
+                f"features ({feat_dim}); decode feature flags must match "
+                "the rescorer's training")
+    want = enc_dim if kind == "enc" else feat_dim
+    if input_dim != want:
+        raise ValueError(
+            f"LAS rescorer input_dim {input_dim} != the selected "
+            f"las_input '{kind}' dim ({want})")
+    return kind
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="transducer batch decoding")
     parser.add_argument("model", type=str, help="model bundle directory")
@@ -80,6 +121,16 @@ def build_parser():
                              "--fst_per_token")
     parser.add_argument("--las_rescorer_model", type=str, default=None)
     parser.add_argument("--las_rescorer_bw_model", type=str, default=None)
+    parser.add_argument("--las_input", type=str, default="auto",
+                        choices=["auto", "enc", "feats"],
+                        help="what the LAS rescorer consumes: the "
+                             "transducer encoder output (enc — the "
+                             "shared-encoder rescorer configuration) or "
+                             "the decode features (feats — an "
+                             "independently-trained LAS).  auto uses the "
+                             "bundle's recorded las_input metadata, "
+                             "falling back to input_dim matching, and "
+                             "errors on an ambiguous tie")
     parser.add_argument("--rnnt_score_scale", type=float, default=1.0)
     parser.add_argument("--las_fw_score_scale", type=float, default=0.3)
     parser.add_argument("--las_bw_score_scale", type=float, default=0.7)
@@ -285,27 +336,22 @@ def main(argv=None):
             n_utts += len(chunk)
             out = decode(jnp.asarray(wavs), jnp.asarray(lens))
 
-            def las_input(m):
-                # shared-encoder rescorer (the reference's train_las_rescorer
-                # configuration) consumes the transducer encoder output; an
-                # independently-trained LAS (own encoder) consumes the decode
-                # features.  The rescorer's input_dim says which it is.
-                d = int(m.config.input_dim)
-                if d == out["enc_out"].shape[-1]:
+            def las_input(m, meta):
+                try:
+                    kind = select_las_input(
+                        args.las_input, meta, int(m.config.input_dim),
+                        out["enc_out"].shape[-1], out["feats"].shape[-1])
+                except ValueError as exc:
+                    sys.exit(str(exc))
+                if kind == "enc":
                     return out["enc_out"], out["enc_lens"]
-                if d == out["feats"].shape[-1]:
-                    return out["feats"], out["feat_lens"]
-                sys.exit(
-                    f"LAS rescorer input_dim {d} matches neither the "
-                    f"transducer encoder output ({out['enc_out'].shape[-1]}) "
-                    f"nor the decode features ({out['feats'].shape[-1]}); "
-                    "decode feature flags must match the rescorer's training")
+                return out["feats"], out["feat_lens"]
 
             fw_scores = bw_scores = None
             fw_tok = bw_tok = None
             if las_fw is not None:
-                m, v, _ = las_fw
-                src, src_lens = las_input(m)
+                m, v, meta = las_fw
+                src, src_lens = las_input(m, meta)
                 fw_scores, fw_tok = las_score_hyps(
                     m, v, src, src_lens, out["tokens"],
                     out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
@@ -317,8 +363,8 @@ def main(argv=None):
                 fw_scores = np.asarray(fw_scores)
                 fw_tok = np.asarray(fw_tok) if args.output_scores else None
             if las_bw is not None:
-                m, v, _ = las_bw
-                src, src_lens = las_input(m)
+                m, v, meta = las_bw
+                src, src_lens = las_input(m, meta)
                 bw_scores, bw_tok = las_score_hyps(
                     m, v, src, src_lens, out["tokens"],
                     out["lens"], sos=args.SOS if args.SOS >= 0 else 0,

@@ -54,6 +54,17 @@ def build_parser():
                         choices=["dot", "general", "mlp"])
     parser.add_argument("--context_gate", type=str, default=None,
                         choices=[None, "source", "target", "both"])
+    parser.add_argument("--coverage_attn", action="store_true",
+                        help="coverage attention: attention keys see the "
+                             "accumulated attention mass "
+                             "(train_las_bmuf_otfaug.py:410-411, "
+                             "global_attention.py:196-199)")
+    parser.add_argument("--lambda_coverage", type=float, default=1.0,
+                        help="parsed for flag parity "
+                             "(train_las_bmuf_otfaug.py:412-413); the "
+                             "reference parses this but never applies a "
+                             "coverage penalty in its loss, and neither do "
+                             "we (PARITY.md)")
     parser.add_argument("--use_downsampler", action="store_true")
     parser.add_argument("--downsampler_layers", type=int, default=1)
     parser.add_argument("--downsampler_rate", type=int, default=2)
@@ -111,6 +122,7 @@ def main(argv=None):
         rnn_size=args.rnn_size, enc_layers=args.enc_layers,
         dec_layers=args.dec_layers, embd_dim=args.embd_dim, brnn=args.brnn,
         dropout=args.dropout, attn_type=args.global_attention,
+        coverage_attn=args.coverage_attn,
         context_gate=args.context_gate, use_downsampler=args.use_downsampler,
         downsampler_layers=args.downsampler_layers,
         downsampler_rate=args.downsampler_rate,
@@ -135,7 +147,14 @@ def main(argv=None):
             f"{args.output_dir}/model.epoch.{epoch}", "las", cfg,
             {"params": jax.device_get(params)},
             metadata={"epoch": epoch,
-                      "reverse_labels": args.reverse_labels})
+                      "reverse_labels": args.reverse_labels,
+                      # what the rescorer consumes at decode time: the
+                      # frozen transducer encoder's output (shared) or
+                      # decode features (independent encoder) — recorded
+                      # so eval_transducer dispatches on fact, not on a
+                      # dim-equality heuristic (ADVICE r4)
+                      "las_input": "enc" if args.shared_encoder_model
+                                   else "feats"})
 
     if args.dp_mode == "sync":
         raw_step = make_las_train_step(

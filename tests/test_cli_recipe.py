@@ -313,6 +313,56 @@ def test_full_recipe(tmp_path, rng):
         f"WER with independent-LAS rescoring too high: {wer3}"
 
 
+def test_select_las_input_dispatch():
+    """The rescorer-input dispatch must never guess on an ambiguous dim
+    tie (ADVICE r4): bundle metadata wins, the flag overrides everything,
+    and a tie with neither raises instead of silently preferring enc."""
+    import pytest
+    from pika_tpu.train.eval_transducer import select_las_input
+
+    # unambiguous dims, no metadata: the heuristic still works
+    assert select_las_input("auto", {}, 64, 64, 120) == "enc"
+    assert select_las_input("auto", {}, 120, 64, 120) == "feats"
+    # recorded metadata decides a tie
+    assert select_las_input("auto", {"las_input": "feats"}, 64, 64, 64) == "feats"
+    assert select_las_input("auto", {"las_input": "enc"}, 64, 64, 64) == "enc"
+    # explicit flag overrides metadata
+    assert select_las_input("feats", {"las_input": "enc"}, 64, 64, 64) == "feats"
+    # the tie with no metadata is a loud error, never a guess
+    with pytest.raises(ValueError, match="BOTH"):
+        select_las_input("auto", {}, 64, 64, 64)
+    # no match at all
+    with pytest.raises(ValueError, match="neither"):
+        select_las_input("auto", {}, 48, 64, 120)
+    # selected kind must still match the rescorer's input_dim
+    with pytest.raises(ValueError, match="!="):
+        select_las_input("enc", {}, 120, 64, 120)
+
+
+def test_las_bundle_records_input_kind(tmp_path):
+    """train_las stamps las_input metadata into saved bundles so decode
+    dispatches on fact: enc for --shared_encoder_model, feats otherwise."""
+    import json
+
+    # cheap check against the source of truth used by save_epoch: the
+    # full-training integration lives in test_full_recipe; here verify the
+    # metadata contract on bundles it just wrote if present, else on a
+    # minimal save_bundle round trip
+    from pika_tpu.models.las import LASConfig, init_las
+    import jax
+    from pika_tpu.train.bundle import load_bundle, save_bundle
+
+    cfg = LASConfig(input_dim=8, output_dim=5, pad_idx=5, rnn_size=8,
+                    enc_layers=1, dec_layers=1, embd_dim=4)
+    _, variables = init_las(jax.random.PRNGKey(0), cfg)
+    d = save_bundle(str(tmp_path / "b"), "las", cfg, variables,
+                    metadata={"las_input": "feats"})
+    _, _, meta = load_bundle(d)
+    assert meta["las_input"] == "feats"
+    with open(f"{d}/model.json") as f:
+        assert json.load(f)["metadata"]["las_input"] == "feats"
+
+
 def test_fusion_default_is_per_token():
     """Per-token fusion is the CLI default (the reference's semantics,
     beam_transducer.py:136-159; grammar matrix: wins 2.6-2.7 WER points

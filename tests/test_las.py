@@ -131,3 +131,54 @@ def test_las_train_mode_dropout(rng):
                      key=jax.random.PRNGKey(2))
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert float(l1) != float(l2)
+
+
+def test_las_coverage_attn_semantics(rng):
+    """Coverage attention (global_attention.py:116-117,196-199 +
+    las.py:670-673): the keys see the accumulated attention mass from the
+    SECOND step on (state.coverage starts None, las.py:644-645), so step-0
+    attention must be identical to the coverage-off model and later steps
+    must differ."""
+    src = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, VOCAB, (2, 6)).astype(np.int32))
+    lens = jnp.asarray([12, 12])
+
+    m0, v0 = init_las(K, _cfg(attn_type="mlp"))
+    m1, v1 = init_las(K, _cfg(attn_type="mlp", coverage_attn=True))
+    assert "attn_linear_cover" in v1["params"] and "attn_linear_cover" not in v0["params"]
+
+    _, a0, _ = m0.apply(v0, src, tgt, lens)
+    _, a1, _ = m1.apply(v1, src, tgt, lens)
+    # identical param trees apart from the extra coverage projection (flax
+    # derives init streams from param paths), so step 0 agrees exactly...
+    np.testing.assert_allclose(np.asarray(a0[:, 0]), np.asarray(a1[:, 0]),
+                               rtol=1e-6, atol=1e-7)
+    # ...and coverage changes every later step's attention
+    assert float(np.abs(np.asarray(a0[:, 1:] - a1[:, 1:])).max()) > 1e-5
+
+
+def test_las_coverage_shifts_attention_mass(rng):
+    """With a suppressive coverage projection, attention mass moves AWAY
+    from already-attended source positions (the mechanism's purpose)."""
+    cfg = _cfg(attn_type="dot", coverage_attn=True)
+    model, variables = init_las(K, cfg)
+    # a strongly negative coverage projection: covered positions' keys are
+    # pushed towards -1 in every dim, killing their dot score against any
+    # positive query
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    params["attn_linear_cover"] = jnp.full((1, cfg.rnn_size), -50.0)
+    v_sup = {"params": params}
+
+    src = jnp.asarray(rng.standard_normal((1, 10, 8)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, VOCAB, (1, 6)).astype(np.int32))
+    lens = jnp.asarray([10])
+    _, attns, _ = model.apply(v_sup, src, tgt, lens)
+    a = np.asarray(attns[0])          # (U, T)
+    p = int(a[0].argmax())            # the position step 0 attended most
+    m0_cov, v0_cfg = init_las(K, _cfg(attn_type="dot"))
+    _, attns_off, _ = m0_cov.apply(v0_cfg, src, tgt, lens)
+    a_off = np.asarray(attns_off[0])
+    # step 1 onward, the covered position p holds less mass than it does
+    # without coverage (keys at p are saturated to tanh(ctx-50) ~ -1)
+    assert a[1:, p].max() < a_off[1:, p].max()
+    assert a[1:, p].max() < a[0, p]
