@@ -61,8 +61,18 @@ class FstTables:
     def n_states(self) -> int:
         return len(self.backoff_next)
 
-    def device_arrays(self) -> dict:
-        return {
+    def device_arrays(
+        self,
+        n_ilabels: Optional[int] = None,
+        cache_max_bytes: int = 0,
+        levels: Optional[int] = None,
+    ) -> dict:
+        """CSR tables as device arrays.  With ``n_ilabels`` set, also
+        attaches the host-precomputed query caches: ``final_best`` (N
+        floats — always) and, when it fits ``cache_max_bytes``, the dense
+        advance cache that turns the per-token-fusion decode step's
+        backoff walks into one gather (``build_advance_cache``)."""
+        out = {
             "arc_start": jnp.asarray(self.arc_start),
             "arc_ilabel": jnp.asarray(self.arc_ilabel),
             "arc_weight": jnp.asarray(self.arc_weight),
@@ -73,6 +83,15 @@ class FstTables:
             "disambig_next": jnp.asarray(self.disambig_next),
             "disambig_weight": jnp.asarray(self.disambig_weight),
         }
+        if n_ilabels is not None:
+            out["final_best"] = jnp.asarray(build_final_cache(self))
+            if cache_max_bytes > 0:
+                cache = build_advance_cache(
+                    self, n_ilabels, levels=levels, max_bytes=cache_max_bytes)
+                if cache is not None:
+                    out["adv_cost"] = jnp.asarray(cache["adv_cost"])
+                    out["adv_next"] = jnp.asarray(cache["adv_next"])
+        return out
 
 
 def _build_tables(
@@ -461,6 +480,159 @@ def compile_arpa(
 
 
 # ---------------------------------------------------------------------------
+# host-precomputed query caches
+# ---------------------------------------------------------------------------
+
+def build_final_cache(tables: FstTables) -> np.ndarray:
+    """Per-state best final cost: what ``fst_final_scores``'s
+    disambig-expand + backoff-chain walk computes for a single state at
+    cost 0, folded to ONE scalar per state — so the per-decode-step
+    finished-score query becomes a gather + min instead of a
+    vmap-of-scan.  Chain semantics match ``chain_final``: walk the
+    backoff chain, stop at the FIRST state with a finite final weight
+    (sorted_matcher.py:84-111)."""
+    n = tables.n_states
+    levels = tables.max_backoff_levels
+    cur = np.arange(n, dtype=np.int64)
+    acc = np.zeros(n, np.float32)
+    best = np.full(n, INF, np.float32)
+    done = np.zeros(n, bool)
+    alive = np.ones(n, bool)
+    for _ in range(levels):
+        safe = np.maximum(cur, 0)
+        fw = np.where(cur >= 0, tables.final_weight[safe], INF)
+        hit = (fw < INF) & ~done & alive
+        best = np.where(hit, acc + fw, best)
+        done |= hit
+        bo_next = np.where(cur >= 0, tables.backoff_next[safe], -1)
+        bo_w = np.where(cur >= 0, tables.backoff_weight[safe], 0.0)
+        acc = acc + np.where(alive & ~done, bo_w, 0.0)
+        cur = np.where(alive & ~done, bo_next, -1)
+        alive = alive & ~done & (cur >= 0)
+    # fold the disambig expansion: min over {(0, s)} ∪ disambig arcs
+    chain = best
+    out = chain.copy()
+    for j in range(tables.disambig_next.shape[1]):
+        dn = tables.disambig_next[:, j]
+        dw = tables.disambig_weight[:, j]
+        valid = dn >= 0
+        cand = np.where(valid, dw + chain[np.maximum(dn, 0)], INF)
+        out = np.minimum(out, cand.astype(np.float32))
+    return out.astype(np.float32)
+
+
+def build_advance_cache(
+    tables: FstTables,
+    n_ilabels: int,
+    levels: Optional[int] = None,
+    max_bytes: int = 512 << 20,
+    chunk: int = 512,
+) -> Optional[dict]:
+    """Precompute, for every (state, ilabel), the advance-set result the
+    device walk (``expand_disambig`` + ``backoff_matches``) would produce:
+    the unique (cost, nextstate) matches, min-cost-deduped and cost-sorted,
+    padded to the LM's true maximum match count ``Lm`` (typically
+    order − 1; 1 for a bigram).  The per-token-fusion decode step then
+    replaces thousands of vmap-of-vmap backoff ``while_loop`` walks with
+    one table gather.
+
+    Returns {"adv_cost": (N, V, Lm) f32, "adv_next": (N, V, Lm) i32} as
+    numpy, or None when the cache would exceed ``max_bytes`` (estimated at
+    Lm = 1 for the gate; the exact size is re-checked after build).
+    """
+    n = tables.n_states
+    v = n_ilabels
+    if levels is None:
+        levels = tables.max_backoff_levels
+    # gate: the dense per-level lookup alone is n*v*8 bytes; the final
+    # cache is n*v*Lm*8.  Refuse rather than thrash host/device memory.
+    if n * v * 8 > max_bytes:
+        return None
+
+    # dense one-step lookup: W[s, i] / Nn[s, i] for the state's own arcs
+    W = np.full((n, v), INF, np.float32)
+    Nn = np.full((n, v), -1, np.int32)
+    src = np.repeat(np.arange(n, dtype=np.int64),
+                    np.diff(tables.arc_start).astype(np.int64))
+    il = tables.arc_ilabel.astype(np.int64)
+    in_range = il < v
+    W[src[in_range], il[in_range]] = tables.arc_weight[in_range]
+    Nn[src[in_range], il[in_range]] = tables.arc_next[in_range]
+
+    # per-state backoff chains (levels deep), shared across ilabels
+    d_cols = tables.disambig_next.shape[1]
+    has_disambig = bool((tables.disambig_next >= 0).any())
+    inits = [(np.zeros(n, np.float32), np.arange(n, dtype=np.int64))]
+    if has_disambig:
+        for j in range(d_cols):
+            dn = tables.disambig_next[:, j].astype(np.int64)
+            dw = np.where(dn >= 0, tables.disambig_weight[:, j], INF)
+            inits.append((dw.astype(np.float32), dn))
+    chains = []  # (acc (n,), state (n,)) per (init, level)
+    for init_cost, init_state in inits:
+        cur = init_state.copy()
+        acc = init_cost.copy()
+        for _ in range(levels):
+            chains.append((acc.copy(), cur.copy()))
+            safe = np.maximum(cur, 0)
+            bo_next = np.where(cur >= 0, tables.backoff_next[safe], -1)
+            bo_w = np.where(cur >= 0, tables.backoff_weight[safe], 0.0)
+            acc = acc + bo_w.astype(np.float32)
+            cur = bo_next.astype(np.int64)
+    lp = len(chains)
+
+    cost_parts: List[np.ndarray] = []
+    next_parts: List[np.ndarray] = []
+    lm_max = 1
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        cc = np.empty((lp, c1 - c0, v), np.float32)
+        nn = np.empty((lp, c1 - c0, v), np.int32)
+        for li, (acc, cur) in enumerate(chains):
+            a = acc[c0:c1, None]
+            s = cur[c0:c1]
+            safe = np.maximum(s, 0)
+            w = W[safe]
+            nx = Nn[safe]
+            dead = (s < 0)[:, None] | (nx < 0)
+            cc[li] = np.where(dead, INF, a + w)
+            nn[li] = np.where(dead, -1, nx)
+        # sort by cost along the match axis, then min-cost dedup by next
+        order = np.argsort(cc, axis=0, kind="stable")
+        cc = np.take_along_axis(cc, order, axis=0)
+        nn = np.take_along_axis(nn, order, axis=0)
+        for j in range(1, lp):
+            dup = np.zeros(cc.shape[1:], bool)
+            for jj in range(j):
+                dup |= (nn[j] == nn[jj]) & (nn[jj] >= 0)
+            cc[j] = np.where(dup, INF, cc[j])
+            nn[j] = np.where(dup, -1, nn[j])
+        order = np.argsort(cc, axis=0, kind="stable")
+        cc = np.take_along_axis(cc, order, axis=0)
+        nn = np.take_along_axis(nn, order, axis=0)
+        counts = (cc < INF).sum(axis=0)
+        lm_chunk = max(1, int(counts.max()) if counts.size else 1)
+        lm_max = max(lm_max, lm_chunk)
+        cost_parts.append(np.swapaxes(cc[:lm_chunk], 0, 1))  # (C, lm, V)
+        next_parts.append(np.swapaxes(nn[:lm_chunk], 0, 1))
+    if n * v * lm_max * 8 > max_bytes:
+        return None
+
+    adv_cost = np.full((n, lm_max, v), INF, np.float32)
+    adv_next = np.full((n, lm_max, v), -1, np.int32)
+    at = 0
+    for cp, npart in zip(cost_parts, next_parts):
+        adv_cost[at : at + cp.shape[0], : cp.shape[1]] = cp
+        adv_next[at : at + cp.shape[0], : cp.shape[1]] = npart
+        at += cp.shape[0]
+    # (N, V, Lm) layout: the decode-step gather indexes [state, ilabel]
+    return {
+        "adv_cost": np.ascontiguousarray(np.swapaxes(adv_cost, 1, 2)),
+        "adv_next": np.ascontiguousarray(np.swapaxes(adv_next, 1, 2)),
+    }
+
+
+# ---------------------------------------------------------------------------
 # device-side queries
 # ---------------------------------------------------------------------------
 
@@ -524,6 +696,40 @@ def expand_disambig(tables: dict, state):
     return costs, states
 
 
+def _dedup_top_s(cand_states, cand_costs, s_cap: int, nonblk_reward):
+    """Min-cost-per-unique-state dedup + keep the ``s_cap`` cheapest,
+    batched over leading dims.  ``cand_*`` are (..., M).  Replaces the
+    original double-argsort + post-sort O(M²) mask with one O(M²)
+    strictly-better comparison and a single ``top_k`` — on TPU the two
+    full sorts were the latency, not the M² elementwise matrix.
+
+    Returns (new_states (..., s_cap), new_costs, lm_score (...,)) with the
+    same semantics as before: ties between equal costs break toward the
+    lower candidate index, lm_score = -min(new_costs) or -INF for a dead
+    set."""
+    m = cand_states.shape[-1]
+    valid = cand_states >= 0
+    cc = jnp.where(valid, cand_costs, INF)
+    # candidate j is a dup if some j' with the same state strictly beats it
+    # (lower cost, or equal cost and lower index)
+    same = cand_states[..., :, None] == cand_states[..., None, :]
+    beats = (cc[..., None, :] < cc[..., :, None]) | (
+        (cc[..., None, :] == cc[..., :, None])
+        & (jnp.arange(m)[None, :] < jnp.arange(m)[:, None])
+    )
+    is_dup = jnp.any(same & beats & valid[..., None, :], axis=-1)
+    cc = jnp.where(is_dup, INF, cc)
+    kept_neg, idx = jax.lax.top_k(-cc, s_cap)
+    kept_cost = -kept_neg
+    kept_state = jnp.take_along_axis(cand_states, idx, axis=-1)
+    live = kept_cost < INF
+    new_states = jnp.where(live, kept_state, -1)
+    new_costs = jnp.where(live, kept_cost - nonblk_reward, INF)
+    lm = jnp.where(jnp.any(new_states >= 0, axis=-1),
+                   -jnp.min(new_costs, axis=-1), -INF)
+    return new_states, new_costs, lm
+
+
 def fst_advance_sets(
     tables: dict,
     states: jnp.ndarray,   # (..., S) int32, -1 padded
@@ -536,8 +742,26 @@ def fst_advance_sets(
 
     Returns (new_states, new_costs, lm_score) where lm_score = -min cost
     (−INF-ish when the set dies).  Mirrors beam_transducer.py:136-159.
+
+    When ``tables`` carries the host-precomputed advance cache
+    (``build_advance_cache``), the disambig-expand + backoff walks become
+    one gather of the per-(state, ilabel) match list — the per-token
+    fusion hot path drops its per-step vmap-of-vmap ``while_loop``
+    searches entirely.
     """
     s_cap = states.shape[-1]
+    if "adv_cost" in tables:
+        lab = jnp.clip(ilabel[..., None], 0, tables["adv_cost"].shape[1] - 1)
+        safe_s = jnp.maximum(states, 0)
+        ac = tables["adv_cost"][safe_s, lab]          # (..., S, Lm)
+        an = tables["adv_next"][safe_s, lab]
+        entry_ok = ((states >= 0) & (costs < INF))[..., None]
+        cand_states = jnp.where(entry_ok, an, -1)
+        cand_costs = jnp.where(entry_ok & (an >= 0), costs[..., None] + ac, INF)
+        flat = states.shape[:-1] + (s_cap * ac.shape[-1],)
+        return _dedup_top_s(cand_states.reshape(flat),
+                            cand_costs.reshape(flat), s_cap, nonblk_reward)
+
     flat_states = states.reshape(-1, s_cap)
     flat_costs = costs.reshape(-1, s_cap)
     flat_label = ilabel.reshape(-1)
@@ -551,22 +775,8 @@ def fst_advance_sets(
             return c + m_costs.reshape(-1), m_states.reshape(-1)
 
         cand_costs, cand_states = jax.vmap(per_state)(st_row, c_row)
-        cand_costs = cand_costs.reshape(-1)
-        cand_states = cand_states.reshape(-1)
-        cand_costs = jnp.where(cand_states >= 0, cand_costs, INF)
-        # dedup: keep min cost per state id
-        order = jnp.argsort(cand_costs)
-        sc = cand_states[order]
-        cc = cand_costs[order]
-        m = sc.shape[0]
-        dup = (sc[None, :] == sc[:, None]) & (jnp.arange(m)[None, :] < jnp.arange(m)[:, None])
-        is_dup = jnp.any(dup & (sc[:, None] >= 0), axis=1)
-        cc = jnp.where(is_dup, INF, cc)
-        order2 = jnp.argsort(cc)
-        new_states = jnp.where(cc[order2][:s_cap] < INF, sc[order2][:s_cap], -1)
-        new_costs = jnp.where(cc[order2][:s_cap] < INF, cc[order2][:s_cap] - nonblk_reward, INF)
-        lm = jnp.where(jnp.any(new_states >= 0), -jnp.min(new_costs), -INF)
-        return new_states, new_costs, lm
+        return _dedup_top_s(cand_states.reshape(-1), cand_costs.reshape(-1),
+                            s_cap, nonblk_reward)
 
     ns, nc, lm = jax.vmap(per_beam)(flat_states, flat_costs, flat_label)
     return (
@@ -579,7 +789,18 @@ def fst_advance_sets(
 def fst_final_scores(tables: dict, states: jnp.ndarray, costs: jnp.ndarray, levels: int = 6):
     """Final LM score for each beam: -min over the state set of
     (cost + final-weight reached through backoff), with disambig expansion
-    (sorted_matcher.py:84-111)."""
+    (sorted_matcher.py:84-111).
+
+    With the per-state ``final_best`` cache (``build_final_cache`` — N
+    floats, always affordable) this is a gather + min; the uncached walk
+    below is kept for callers holding raw ``device_arrays()`` dicts."""
+    if "final_best" in tables:
+        safe = jnp.maximum(states, 0)
+        fb = tables["final_best"][safe]
+        ok = (states >= 0) & (costs < INF) & (fb < INF)
+        best = jnp.min(jnp.where(ok, costs + fb, INF), axis=-1)
+        return jnp.where(best < INF, -best, -INF)
+
     s_cap = states.shape[-1]
     flat_states = states.reshape(-1, s_cap)
     flat_costs = costs.reshape(-1, s_cap)

@@ -119,6 +119,12 @@ def build_parser():
     parser.add_argument("--fst_topm", type=int, default=8,
                         help="non-blank candidates per beam considered by "
                              "--fst_per_token")
+    parser.add_argument("--fst_cache_mb", type=int, default=512,
+                        help="budget (MB) for the host-precomputed dense "
+                             "advance cache (n_states x vocab x Lm) that "
+                             "replaces the per-step LM backoff walks with "
+                             "one gather; LMs whose cache exceeds it fall "
+                             "back to the on-device walk.  0 disables")
     parser.add_argument("--las_rescorer_model", type=str, default=None)
     parser.add_argument("--las_rescorer_bw_model", type=str, default=None)
     parser.add_argument("--las_input", type=str, default="auto",
@@ -188,8 +194,17 @@ def main(argv=None):
                 tables = read_openfst_binary(args.fst_lm, args.backoff_id, disambig)
             except ValueError:
                 tables = read_text_fst(args.fst_lm, args.backoff_id, disambig)
-        fst_tables = tables.device_arrays()
+        fst_tables = tables.device_arrays(
+            n_ilabels=int(model.config.vocab_size) + 1,
+            cache_max_bytes=args.fst_cache_mb << 20,
+        )
         fst_start = tables.start
+        if "adv_cost" in fst_tables:
+            print(f"FST advance cache: {tables.n_states} states x "
+                  f"{fst_tables['adv_cost'].shape[1]} ilabels x "
+                  f"Lm={fst_tables['adv_cost'].shape[2]} "
+                  f"({fst_tables['adv_cost'].nbytes * 2 >> 20} MB)",
+                  file=sys.stderr)
 
     cfg = BeamConfig(
         beam_size=args.beam_size, n_best=args.n_best, blank=args.blk,

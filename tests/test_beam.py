@@ -350,3 +350,36 @@ def test_greedy_configurable_blank_matches_beam1(rng):
         np.testing.assert_array_equal(
             np.asarray(g_hyps[i, :gl]), np.asarray(out["tokens"][i, 0, :gl]))
         assert not np.any(np.asarray(g_hyps[i, :gl]) == 2)
+
+
+@pytest.mark.parametrize("per_token", [True, False])
+def test_fusion_cache_decode_identical(rng, tmp_path, per_token):
+    """Beam search with the host-precomputed advance/final caches attached
+    must produce byte-identical N-bests to the on-device walk, in both
+    fusion modes (round-5 per-token fusion optimization)."""
+    model, variables, cfg = _tiny_model(rng, vocab=4)
+    enc, lens = _enc(model, variables, rng, b=2, t=5)
+    # bigram-ish LM over ilabels 2..4 with backoff + finals
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text(
+        "0 1 2 2 0.6\n0 2 3 3 1.1\n0 0 4 4 2.0\n"
+        "1 2 3 3 0.2\n1 0 0 0 0.5\n"
+        "2 1 2 2 0.4\n2 0 0 0 0.3\n"
+        "0 0.1\n1 0.3\n2 0.2\n")
+    tables = read_text_fst(str(lm))
+    bcfg = BeamConfig(beam_size=6, n_best=4, max_symbols=5, lm_scale=0.8,
+                      max_fst_states=4, lm_per_token=per_token, lm_topm=3,
+                      nonblk_reward=0.2)
+    plain = beam_search(model, variables, enc, lens, bcfg,
+                        fst_tables=tables.device_arrays(),
+                        fst_start=tables.start)
+    cached_tabs = tables.device_arrays(n_ilabels=5, cache_max_bytes=1 << 20)
+    assert "adv_cost" in cached_tabs
+    cached = beam_search(model, variables, enc, lens, bcfg,
+                         fst_tables=cached_tabs, fst_start=tables.start)
+    np.testing.assert_array_equal(np.asarray(plain["tokens"]),
+                                  np.asarray(cached["tokens"]))
+    np.testing.assert_array_equal(np.asarray(plain["lens"]),
+                                  np.asarray(cached["lens"]))
+    np.testing.assert_allclose(np.asarray(plain["scores"]),
+                               np.asarray(cached["scores"]), rtol=1e-6)

@@ -365,3 +365,104 @@ def test_build_tables_rejects_nondeterminism(tmp_path):
     p.write_text("0 1 3 3 0.5\n0 2 3 3 0.7\n1 0\n2 0\n")
     with pytest.raises(ValueError, match="nondeterministic"):
         read_text_fst(str(p))
+
+
+# ---------------------------------------------------------------------------
+# host-precomputed cache equivalence (round 5): the dense advance cache and
+# the per-state final cache must reproduce the on-device walk EXACTLY
+# ---------------------------------------------------------------------------
+
+def _random_fst(rng, n_states=24, n_labels=8, negative=False, disambig=False):
+    """A random deterministic backoff-ish automaton (may contain backoff
+    cycles — both query paths bound the walk at max_backoff_levels)."""
+    from pika_tpu.decode.fst import _build_tables
+
+    arcs = {}
+    finals = {}
+    dis_ids = [90, 91] if disambig else None
+    lo, hi = (-1.5, 2.5) if negative else (0.0, 3.0)
+    for s in range(n_states):
+        labs = rng.choice(np.arange(1, n_labels + 1),
+                          size=rng.integers(0, n_labels), replace=False)
+        lst = [(int(l), float(rng.uniform(lo, hi)), int(rng.integers(0, n_states)))
+               for l in labs]
+        if rng.random() < 0.8:  # backoff arc
+            lst.append((0, float(rng.uniform(lo, hi)), int(rng.integers(0, n_states))))
+        if disambig and rng.random() < 0.4:
+            lst.append((int(rng.choice(dis_ids)), float(rng.uniform(lo, hi)),
+                        int(rng.integers(0, n_states))))
+        arcs[s] = lst
+        if rng.random() < 0.3:
+            finals[s] = float(rng.uniform(lo, hi))
+    return _build_tables(n_states, arcs, finals, start=0, backoff_id=0,
+                         disambig_ids=dis_ids)
+
+
+def _set_dict(states, costs):
+    return {int(s): round(float(c), 4)
+            for s, c in zip(np.ravel(states), np.ravel(costs)) if s >= 0}
+
+
+@pytest.mark.parametrize("negative,disambig", [(False, False), (True, False),
+                                               (False, True), (True, True)])
+def test_advance_cache_matches_uncached(rng, negative, disambig):
+    t = _random_fst(rng, negative=negative, disambig=disambig)
+    plain = t.device_arrays()
+    cached = t.device_arrays(n_ilabels=16, cache_max_bytes=64 << 20)
+    assert "adv_cost" in cached and "final_best" in cached
+
+    states_p, costs_p = init_state_sets(t, (2, 3), max_states=4)
+    states_c, costs_c = states_p, costs_p
+    for step in range(6):
+        labels = jnp.asarray(rng.integers(1, 12, (2, 3)).astype(np.int32))
+        reward = 0.3 if step % 2 else 0.0
+        states_p, costs_p, lm_p = fst_advance_sets(
+            plain, states_p, costs_p, labels, nonblk_reward=reward)
+        states_c, costs_c, lm_c = fst_advance_sets(
+            cached, states_c, costs_c, labels, nonblk_reward=reward)
+        for i in range(2):
+            for j in range(3):
+                assert _set_dict(states_p[i, j], costs_p[i, j]) == \
+                       _set_dict(states_c[i, j], costs_c[i, j]), (step, i, j)
+        np.testing.assert_allclose(np.asarray(lm_p), np.asarray(lm_c),
+                                   rtol=1e-5, atol=1e-5)
+        fin_p = np.asarray(fst_final_scores(plain, states_p, costs_p))
+        fin_c = np.asarray(fst_final_scores(cached, states_c, costs_c))
+        np.testing.assert_allclose(fin_p, fin_c, rtol=1e-5, atol=1e-5)
+        # dead sets must agree exactly on the -INF sentinel
+        np.testing.assert_array_equal(fin_p < -1e29, fin_c < -1e29)
+
+
+def test_advance_cache_vs_sorted_matcher(toy_fst):
+    """The cached path straight against the literal SortedMatcher
+    transliteration (same protocol as test_advance_matches_sorted_matcher)."""
+    tables = toy_fst.device_arrays(n_ilabels=8, cache_max_bytes=1 << 20)
+    assert "adv_cost" in tables
+    py = PySortedMatcher(toy_fst)
+    states, costs = init_state_sets(toy_fst, (1, 1), max_states=4)
+    for ilabel in (1, 2, 1):
+        ref_map = {}
+        for s, c in zip(np.asarray(states)[0, 0], np.asarray(costs)[0, 0]):
+            if s < 0:
+                continue
+            scs, sts = py.get_scores(int(s), ilabel)
+            for sc, st in zip(scs, sts):
+                v = float(c) + sc
+                if st not in ref_map or v < ref_map[st]:
+                    ref_map[st] = v
+        states, costs, lm = fst_advance_sets(
+            tables, states, costs, jnp.full((1, 1), ilabel, jnp.int32))
+        got = _set_dict(states[0, 0], costs[0, 0])
+        assert set(got) == set(ref_map)
+        for k in ref_map:
+            np.testing.assert_allclose(got[k], ref_map[k], rtol=1e-5)
+        np.testing.assert_allclose(float(lm[0, 0]), -min(ref_map.values()),
+                                   rtol=1e-5)
+
+
+def test_advance_cache_size_gate(toy_fst):
+    from pika_tpu.decode.fst import build_advance_cache
+
+    assert build_advance_cache(toy_fst, 8, max_bytes=16) is None
+    tables = toy_fst.device_arrays(n_ilabels=8, cache_max_bytes=16)
+    assert "adv_cost" not in tables and "final_best" in tables

@@ -35,6 +35,9 @@ def main():
                          "(VERDICT r3 item 4)")
     ap.add_argument("--fst_states", type=int, default=5000,
                     help="synthetic LM size (bigram contexts)")
+    ap.add_argument("--fst_cache_mb", type=int, default=512,
+                    help="dense advance-cache budget (MB); 0 = the "
+                         "on-device backoff-walk path (round-4 behavior)")
     args = ap.parse_args()
 
     import jax
@@ -97,7 +100,15 @@ def main():
             disambig_next=np.full((ns, 1), -1, np.int32),
             disambig_weight=np.full((ns, 1), 1e30, np.float32),
         )
-        fst_tables, fst_start = tables.device_arrays(), tables.start
+        t0 = time.perf_counter()
+        fst_tables = tables.device_arrays(
+            n_ilabels=vocab + 1,
+            cache_max_bytes=args.fst_cache_mb << 20)
+        fst_start = tables.start
+        if "adv_cost" in fst_tables:
+            print(f"  advance cache: Lm={fst_tables['adv_cost'].shape[-1]}, "
+                  f"{(fst_tables['adv_cost'].nbytes * 2) >> 20} MB, "
+                  f"built in {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
     wavs = jnp.asarray((rng.standard_normal((args.batch, max_samples)) * 4000).astype(np.float32))
