@@ -67,6 +67,10 @@ def main():
                     choices=["threefry2x32", "rbg"],
                     help="rbg = TPU hardware RngBitGenerator for mask "
                          "bits (the trainers' --rng_impl rbg)")
+    ap.add_argument("--cheap_dropout", action="store_true",
+                    help="attn_cheap_dropout: head-shared bits-threshold "
+                         "attention-prob dropout (16x fewer random bits, "
+                         "no bernoulli->uniform chain)")
     args = ap.parse_args()
     B = args.batch
 
@@ -99,6 +103,7 @@ def main():
         tdnn_nhid=1024, tdnn_layers=9,
         tdnn_transformer_dropout=args.dropout,
         attn_chunk=args.attn_chunk, remat=args.remat,
+        attn_cheap_dropout=args.cheap_dropout,
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg,
                                        max_t=80, max_u=8)
@@ -187,9 +192,57 @@ def main():
     rows.append(("fused RNN-T loss fwd+bwd (pallas, d_ax only)",
                  chain_time(jax, jnp, loss_fn, (ax, (gx, ay, gy, w2, b2)))))
 
+    # 4b-4e. residual itemization (VERDICT r4 item 3): the pieces of the
+    # step outside featurizer/encoder/loss, each as its own chained scan.
+    dummy = jnp.zeros((8, 8), jnp.float32)
+
+    #   prediction net fwd+bwd (2-layer LSTM scan over U+1 label positions)
+    def pred_fn(dmy, nonp, p):
+        def loss(p_):
+            vs = {**nonp, "params": p_}
+            dec = model.apply(vs, labels, ulens, method=Transducer.predict)
+            return dec.sum()
+        g = jax.grad(loss)(p)
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return dmy + gsum * 1e-20, gsum
+    rows.append(("pred net fwd+bwd (LSTM scan over U+1)",
+                 chain_time(jax, jnp, pred_fn, (dummy, nonparams, params))))
+
+    #   joint factor projections fwd+bwd (4 H x H matmuls over enc + dec)
+    enc_fix = jnp.asarray(rng.standard_normal((B, tp, 1024)).astype(np.float32))
+    dec_fix = jnp.asarray(rng.standard_normal((B, U + 1, 1024)).astype(np.float32))
+
+    def jf_fn(e, d, nonp, p):
+        def loss(p_):
+            vs = {**nonp, "params": p_}
+            ax_, gx_, ay_, gy_ = model.apply(
+                vs, e, d, method=Transducer.joint_factors)
+            return ax_.sum() + gx_.sum() + ay_.sum() + gy_.sum()
+        g = jax.grad(loss)(p)
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return e + gsum * 1e-20, gsum
+    rows.append(("joint factor projections fwd+bwd",
+                 chain_time(jax, jnp, jf_fn, (enc_fix, dec_fix, nonparams, params))))
+
     # 5. full train step
     tx = make_optimizer("sgd", initial_lr=0.003, final_lr=0.0001,
                         total_batches=100000, momentum=0.9, grad_clip=3.0)
+
+    #   optimizer update: inf-norm clip + momentum + LR schedule + apply
+    #   over the full ~57M-param tree (the optax chain as the step runs it)
+    import optax as _optax
+    opt_state0 = tx.init(params)
+    fake_grads = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 1e-4), params)
+
+    def opt_fn(g, os_, p_):
+        updates, _ = tx.update(g, os_, p_)
+        new_p = _optax.apply_updates(p_, updates)
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+        g2 = jax.tree_util.tree_map(lambda x: x + gsum * 1e-30, g)
+        return g2, gsum
+    rows.append(("optimizer (inf-clip + momentum + apply)",
+                 chain_time(jax, jnp, opt_fn, (fake_grads, opt_state0, params))))
+
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        opt_state=tx.init(variables["params"]),
                        batch_stats=variables.get("batch_stats"))
@@ -206,13 +259,20 @@ def main():
 
     full = rows[-1][1]
     print(f"\nbatch {B}, 10s utts, flagship config, dropout {args.dropout}, "
-          f"attn_chunk {args.attn_chunk}, rng {args.rng_impl}:")
+          f"attn_chunk {args.attn_chunk}, rng {args.rng_impl}, "
+          f"cheap_dropout {args.cheap_dropout}:")
     for name, t in rows:
         print(f"  {name:45s} {t * 1000:8.1f} ms  ({t / full * 100:5.1f}% of step)")
-    known = rows[0][1] + rows[3][1] + rows[4][1]
-    print(f"  {'featurizer + enc fwd+bwd + loss':45s} {known * 1000:8.1f} ms  "
-          f"({known / full * 100:5.1f}%) — residual = pred net, joint "
-          f"factor matmuls+bwd, optimizer, clip")
+    named = {n: t for n, t in rows}
+    known = (named["featurizer (fbank+splice+CMVN+SpecAug)"]
+             + named["encoder fwd+bwd (train mode, dropout+BN)"]
+             + named["fused RNN-T loss fwd+bwd (pallas, d_ax only)"]
+             + named["pred net fwd+bwd (LSTM scan over U+1)"]
+             + named["joint factor projections fwd+bwd"]
+             + named["optimizer (inf-clip + momentum + apply)"])
+    print(f"  {'sum of itemized components':45s} {known * 1000:8.1f} ms  "
+          f"({known / full * 100:5.1f}%) — remainder is XLA fusion overlap "
+          f"(negative = the full step fuses better than the parts)")
 
 
 if __name__ == "__main__":
