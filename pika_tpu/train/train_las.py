@@ -256,20 +256,30 @@ def main(argv=None):
                 sampling_prob = min(0.4, sampling_prob + 0.1)
             log_f.write(f"===> Epoch {epoch} (sampling_prob {sampling_prob}) <===\n")
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
-            pend = []
             t_epoch = time.perf_counter()
             n_utts = 0
-            for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch)):
-                batch = dict(batch)
-                batch["sampling_prob"] = np.full(
-                    (loader_cfg.batch_size,), sampling_prob, np.float32)
-                pend.append(batch)
-                if len(pend) < args.sync_period:
-                    continue
-                stacked = {k: jax.device_put(v, bsh)
-                           for k, v in _stack_batches(
-                               pend, pad_values={"labels": pad_idx}).items()}
+            sp_now = sampling_prob  # freeze for the epoch's prefetch thread
+
+            def group_rounds(stream, sp):
                 pend = []
+                for batch in stream:
+                    batch = dict(batch)
+                    batch["sampling_prob"] = np.full(
+                        (loader_cfg.batch_size,), sp, np.float32)
+                    pend.append(batch)
+                    if len(pend) == args.sync_period:
+                        yield pend
+                        pend = []
+
+            def stack_and_ship(pend):
+                return {k: jax.device_put(v, bsh)
+                        for k, v in _stack_batches(
+                            pend, pad_values={"labels": pad_idx}).items()}
+
+            # stack + H2D on the prefetch thread (overlaps device compute)
+            for stacked in prefetch_iter(
+                    group_rounds(batch_stream(args, loader_cfg, epoch), sp_now),
+                    transform=stack_and_ship):
                 key, sub = jax.random.split(key)
                 bstate, _, ok, metrics = round_fn(
                     bstate, None, stacked, common.host_key(sub), step_count)

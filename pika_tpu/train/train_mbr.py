@@ -230,16 +230,26 @@ def main(argv=None):
             log_f.write(f"===> Epoch {epoch} <===\n")
             logger = Logger(log_f, args.log_per_n_frames,
                             ["MBR Loss", "RNNT Loss"])
-            pend = []
             t_epoch = time.perf_counter()
             n_utts = 0
-            for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch)):
-                pend.append(batch)
-                if len(pend) < args.sync_period:
-                    continue
-                stacked = {k: jax.device_put(v, bsh)
-                           for k, v in _stack_batches(pend).items()}
+
+            def group_rounds(stream):
                 pend = []
+                for batch in stream:
+                    pend.append(batch)
+                    if len(pend) == args.sync_period:
+                        yield pend
+                        pend = []
+
+            def stack_and_ship(pend):
+                return {k: jax.device_put(v, bsh)
+                        for k, v in _stack_batches(pend).items()}
+
+            # stack + H2D on the prefetch thread: the next round's transfer
+            # issues while the device runs the current round
+            for stacked in prefetch_iter(
+                    group_rounds(batch_stream(args, loader_cfg, epoch)),
+                    transform=stack_and_ship):
                 key, sub = jax.random.split(key)
                 bstate, bn_stats, ok, metrics = round_fn(
                     bstate, bn_stats, stacked, common.host_key(sub),

@@ -408,7 +408,6 @@ def main(argv=None):
         def run_epoch(epoch, bstate_):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
             key = jax.random.PRNGKey(args.seed + epoch)
-            pending = []
             # stack the sync period on HOST and ship one transfer — feeding
             # device arrays into np.stack would round-trip them D2H.
             # device_put with an explicit (None, "data") sharding: correct
@@ -418,32 +417,42 @@ def main(argv=None):
 
             bsh = data_sharding(mesh, leading_unsharded=1)
 
+            def group_rounds(stream):
+                pending = []
+                for batch in stream:
+                    pending.append(batch)
+                    if len(pending) == args.sync_period:
+                        yield pending
+                        pending = []
+
             def stack_and_ship(batches):
                 stacked = _stack_batches(batches)
                 return {k: jax.device_put(_wavs_i16(k, v), bsh)
                         for k, v in stacked.items()}
 
-            for batch in prefetch_iter(batch_stream(args, loader_cfg, epoch)):
-                pending.append(batch)
-                if len(pending) == args.sync_period:
-                    stacked = stack_and_ship(pending)
-                    key, sub = jax.random.split(key)
-                    nonlocal_stats = stats_box[0]
-                    bstate_, new_stats, ok, metrics = round_fn(
-                        bstate_, nonlocal_stats, stacked,
-                        common.host_key(sub), step_box[0]
-                    )
-                    stats_box[0] = new_stats
-                    step_box[0] += args.sync_period
-                    utt_box[0] += loader_cfg.batch_size * args.sync_period
-                    if not bool(ok):
-                        log_f.write("NaN detected in BMUF sync — stopping\n")
-                        sys.exit(1)
-                    logger.update_and_log(
-                        int(np.asarray(metrics["num_labels"]).sum()),
-                        [float(np.asarray(metrics["loss"]).sum())],
-                    )
-                    pending = []
+            # stacking AND the H2D device_put run on the prefetch thread
+            # (size=3 rounds buffered) so the next round's transfer issues
+            # while the device computes the current one — the same
+            # double-buffering the sync path's pack_group has
+            for stacked in prefetch_iter(
+                    group_rounds(batch_stream(args, loader_cfg, epoch)),
+                    transform=stack_and_ship):
+                key, sub = jax.random.split(key)
+                nonlocal_stats = stats_box[0]
+                bstate_, new_stats, ok, metrics = round_fn(
+                    bstate_, nonlocal_stats, stacked,
+                    common.host_key(sub), step_box[0]
+                )
+                stats_box[0] = new_stats
+                step_box[0] += args.sync_period
+                utt_box[0] += loader_cfg.batch_size * args.sync_period
+                if not bool(ok):
+                    log_f.write("NaN detected in BMUF sync — stopping\n")
+                    sys.exit(1)
+                logger.update_and_log(
+                    int(np.asarray(metrics["num_labels"]).sum()),
+                    [float(np.asarray(metrics["loss"]).sum())],
+                )
             logger.summarize_and_log()
             return bstate_
 
