@@ -77,8 +77,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    if args.rng_impl != "threefry2x32":
-        jax.config.update("jax_default_prng_impl", args.rng_impl)
+    # unconditional: an explicit threefry pin must override any ambient
+    # JAX_DEFAULT_PRNG_IMPL (ADVICE r4, same fix as bench.py/common.py)
+    jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     from pika_tpu.features import FbankConfig
     from pika_tpu.models import TransducerConfig, init_transducer
