@@ -61,17 +61,38 @@ class FstTables:
     def n_states(self) -> int:
         return len(self.backoff_next)
 
+    def fingerprint(self, n_ilabels: int, levels: Optional[int]) -> str:
+        """Content hash of everything ``build_advance_cache`` consumes —
+        the key for on-disk cache reuse (``cache_file``)."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in (self.arc_start, self.arc_ilabel, self.arc_weight,
+                  self.arc_next, self.backoff_next, self.backoff_weight,
+                  self.final_weight, self.disambig_next, self.disambig_weight):
+            h.update(np.ascontiguousarray(a).tobytes())
+        lv = levels if levels is not None else self.max_backoff_levels
+        h.update(f"{n_ilabels}:{lv}:{self.start}".encode())
+        return h.hexdigest()
+
     def device_arrays(
         self,
         n_ilabels: Optional[int] = None,
         cache_max_bytes: int = 0,
         levels: Optional[int] = None,
+        cache_file: Optional[str] = None,
     ) -> dict:
         """CSR tables as device arrays.  With ``n_ilabels`` set, also
         attaches the host-precomputed query caches: ``final_best`` (N
         floats — always) and, when it fits ``cache_max_bytes``, the dense
         advance cache that turns the per-token-fusion decode step's
-        backoff walks into one gather (``build_advance_cache``)."""
+        backoff walks into one gather (``build_advance_cache``).
+
+        ``cache_file`` persists the advance cache across runs: if the
+        file exists and its recorded fingerprint matches these tables
+        (content hash — a changed FST rebuilds, never mis-serves), it is
+        loaded instead of rebuilt (~35 s host build for a real-vocab LM);
+        otherwise the freshly built cache is saved there."""
         out = {
             "arc_start": jnp.asarray(self.arc_start),
             "arc_ilabel": jnp.asarray(self.arc_ilabel),
@@ -86,8 +107,31 @@ class FstTables:
         if n_ilabels is not None:
             out["final_best"] = jnp.asarray(build_final_cache(self))
             if cache_max_bytes > 0:
-                cache = build_advance_cache(
-                    self, n_ilabels, levels=levels, max_bytes=cache_max_bytes)
+                cache = None
+                fp = None
+                if cache_file:
+                    import os
+
+                    fp = self.fingerprint(n_ilabels, levels)
+                    if os.path.exists(cache_file):
+                        with np.load(cache_file) as z:
+                            if str(z["fingerprint"]) == fp:
+                                cache = {"adv_cost": z["adv_cost"],
+                                         "adv_next": z["adv_next"]}
+                if cache is None:
+                    cache = build_advance_cache(
+                        self, n_ilabels, levels=levels,
+                        max_bytes=cache_max_bytes)
+                    if cache is not None and cache_file:
+                        import os
+
+                        # .npz suffix keeps np.savez from renaming; write
+                        # to a temp + atomic replace so a killed run never
+                        # leaves a truncated cache behind
+                        tmp = cache_file + ".tmp.npz"
+                        np.savez(tmp, adv_cost=cache["adv_cost"],
+                                 adv_next=cache["adv_next"], fingerprint=fp)
+                        os.replace(tmp, cache_file)
                 if cache is not None:
                     out["adv_cost"] = jnp.asarray(cache["adv_cost"])
                     out["adv_next"] = jnp.asarray(cache["adv_next"])

@@ -70,6 +70,28 @@ def select_las_input(flag: str, meta: dict, input_dim: int,
     return kind
 
 
+def make_decode_fn(model, cfg: BeamConfig, fst_start: int, featurizer=None):
+    """Jitted ``decode(variables, fst_tables, x, lens)``.
+
+    The model params and the FST tables — including the dense advance
+    cache, which is hundreds of MB at real vocab sizes — ride as runtime
+    arguments, NOT closure constants: closed-over device arrays are
+    inlined into the lowered program as literals, and a ~478 MB cache
+    blows tunneled remote-compile payload limits (observed: HTTP 413).
+    As arguments they live in HBM and the program holds only their
+    shapes.  ``tests/test_decode_payload.py`` pins this property.
+    """
+    if featurizer is None:
+        from pika_tpu.decode.beam import beam_search_features
+
+        return jax.jit(
+            lambda v, ft, f, l: beam_search_features(
+                model, v, f, l, cfg, ft, fst_start))
+    return jax.jit(
+        lambda v, ft, w, l: beam_search_waveforms(
+            model, v, featurizer, w, l, cfg, ft, fst_start))
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="transducer batch decoding")
     parser.add_argument("model", type=str, help="model bundle directory")
@@ -125,6 +147,13 @@ def build_parser():
                              "replaces the per-step LM backoff walks with "
                              "one gather; LMs whose cache exceeds it fall "
                              "back to the on-device walk.  0 disables")
+    parser.add_argument("--fst_cache_file", type=str, default="",
+                        help="persist the advance cache on disk and reuse "
+                             "it across decode runs (the host build takes "
+                             "~35 s at real vocab sizes).  'auto' = "
+                             "<fst_lm>.advcache.npz; keyed by a content "
+                             "fingerprint of the compiled tables, so a "
+                             "changed LM rebuilds instead of mis-serving")
     parser.add_argument("--las_rescorer_model", type=str, default=None)
     parser.add_argument("--las_rescorer_bw_model", type=str, default=None)
     parser.add_argument("--las_input", type=str, default="auto",
@@ -194,9 +223,13 @@ def main(argv=None):
                 tables = read_openfst_binary(args.fst_lm, args.backoff_id, disambig)
             except ValueError:
                 tables = read_text_fst(args.fst_lm, args.backoff_id, disambig)
+        cache_file = args.fst_cache_file
+        if cache_file == "auto":
+            cache_file = args.fst_lm + ".advcache.npz"
         fst_tables = tables.device_arrays(
             n_ilabels=int(model.config.vocab_size) + 1,
             cache_max_bytes=args.fst_cache_mb << 20,
+            cache_file=cache_file or None,
         )
         fst_start = tables.start
         if "adv_cost" in fst_tables:
@@ -222,6 +255,21 @@ def main(argv=None):
     if args.las_rescorer_bw_model:
         las_bw = load_bundle(args.las_rescorer_bw_model)
 
+    def make_las_scorer(m, reverse):
+        # one jitted program per rescorer instead of eager op-by-op
+        # dispatch: on tunneled transports every eager primitive pays
+        # ~32 ms fixed latency, so scoring a batch cost dozens of round
+        # trips.  Shapes are stable across batches (padded to bsz), so
+        # this compiles once.  Variables ride as an argument (payload
+        # discipline, see make_decode_fn).
+        sos = args.SOS if args.SOS >= 0 else 0
+        eos = args.EOS if args.EOS >= 0 else m.config.output_dim - 1
+        return jax.jit(lambda v, src, sl, tok, tl: las_score_hyps(
+            m, v, src, sl, tok, tl, sos=sos, eos=eos, reverse=reverse))
+
+    las_fw_fn = make_las_scorer(las_fw[0], False) if las_fw else None
+    las_bw_fn = make_las_scorer(las_bw[0], True) if las_bw else None
+
     sym_map = read_symbol_table(args.symbols_map) if args.symbols_map else None
     bsz = args.batch_size
     t_start = time.perf_counter()
@@ -237,11 +285,7 @@ def main(argv=None):
         from pika_tpu.data.loader import prefetch_iter
         from pika_tpu.decode.beam import beam_search_features
 
-        decode = jax.jit(
-            lambda f, l: beam_search_features(
-                model, variables, f, l, cfg, fst_tables, fst_start
-            )
-        )
+        decode = make_decode_fn(model, cfg, fst_start)
         fbc = common.fbank_from_args(args)
         offset = scale = None
         if args.cmvn_stats:
@@ -280,11 +324,7 @@ def main(argv=None):
             yield from prefetch_iter(gen(), size=2)
 
     else:
-        decode = jax.jit(
-            lambda w, l: beam_search_waveforms(
-                model, variables, featurizer, w, l, cfg, fst_tables, fst_start
-            )
-        )
+        decode = make_decode_fn(model, cfg, fst_start, featurizer=featurizer)
         scp = read_wav_scp(args.wav_scp)
         uttids = list(scp)
 
@@ -349,7 +389,7 @@ def main(argv=None):
         for chunk, wavs, lens, audio in chunk_stream():
             total_audio += audio
             n_utts += len(chunk)
-            out = decode(jnp.asarray(wavs), jnp.asarray(lens))
+            out = decode(variables, fst_tables, jnp.asarray(wavs), jnp.asarray(lens))
 
             def las_input(m, meta):
                 try:
@@ -367,11 +407,8 @@ def main(argv=None):
             if las_fw is not None:
                 m, v, meta = las_fw
                 src, src_lens = las_input(m, meta)
-                fw_scores, fw_tok = las_score_hyps(
-                    m, v, src, src_lens, out["tokens"],
-                    out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
-                    eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
-                )
+                fw_scores, fw_tok = las_fw_fn(
+                    v, src, src_lens, out["tokens"], out["lens"])
                 # per-token scores are only written under --output_scores;
                 # each np.asarray is a D2H round trip (~32 ms fixed latency
                 # on tunneled transports) — don't pay it for unused arrays
@@ -380,12 +417,8 @@ def main(argv=None):
             if las_bw is not None:
                 m, v, meta = las_bw
                 src, src_lens = las_input(m, meta)
-                bw_scores, bw_tok = las_score_hyps(
-                    m, v, src, src_lens, out["tokens"],
-                    out["lens"], sos=args.SOS if args.SOS >= 0 else 0,
-                    eos=args.EOS if args.EOS >= 0 else m.config.output_dim - 1,
-                    reverse=True,
-                )
+                bw_scores, bw_tok = las_bw_fn(
+                    v, src, src_lens, out["tokens"], out["lens"])
                 bw_scores = np.asarray(bw_scores)
                 bw_tok = np.asarray(bw_tok) if args.output_scores else None
 

@@ -466,3 +466,28 @@ def test_advance_cache_size_gate(toy_fst):
     assert build_advance_cache(toy_fst, 8, max_bytes=16) is None
     tables = toy_fst.device_arrays(n_ilabels=8, cache_max_bytes=16)
     assert "adv_cost" not in tables and "final_best" in tables
+
+
+def test_advance_cache_file_roundtrip(toy_fst, tmp_path, rng):
+    """--fst_cache_file: a saved cache reloads bit-identically, and a
+    DIFFERENT automaton never mis-serves a stale file (fingerprint)."""
+    f = str(tmp_path / "lm.advcache.npz")
+    built = toy_fst.device_arrays(n_ilabels=8, cache_max_bytes=1 << 20,
+                                  cache_file=f)
+    import os
+    assert os.path.exists(f)
+    loaded = toy_fst.device_arrays(n_ilabels=8, cache_max_bytes=1 << 20,
+                                   cache_file=f)
+    np.testing.assert_array_equal(np.asarray(built["adv_cost"]),
+                                  np.asarray(loaded["adv_cost"]))
+    np.testing.assert_array_equal(np.asarray(built["adv_next"]),
+                                  np.asarray(loaded["adv_next"]))
+
+    # a different FST with the same file must rebuild, not serve stale data
+    other = _random_fst(rng)
+    fresh = other.device_arrays(n_ilabels=8, cache_max_bytes=1 << 20)
+    via_file = other.device_arrays(n_ilabels=8, cache_max_bytes=1 << 20,
+                                   cache_file=f)
+    np.testing.assert_array_equal(np.asarray(fresh["adv_cost"]),
+                                  np.asarray(via_file["adv_cost"]))
+    assert other.fingerprint(8, None) != toy_fst.fingerprint(8, None)

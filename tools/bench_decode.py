@@ -117,18 +117,21 @@ def main():
     # dependency-chained timing: some PJRT transports short-circuit
     # repeated identical dispatches, so each iteration must consume the
     # previous result
+    # fst_tables must be a runtime argument, not a closure constant: a
+    # closed-over advance cache is inlined into the HLO as a literal and a
+    # ~478 MB cache blows tunneled remote-compile payload limits (HTTP 413).
     @jax.jit
-    def run(vs, w):
+    def run(vs, ft, w):
         def body(carry, _):
             out = beam_search_waveforms(model, vs, featurizer, carry, lens,
-                                        bcfg, fst_tables, fst_start)
+                                        bcfg, ft, fst_start)
             return carry + out["scores"].sum() * 1e-20, out["scores"].sum()
         _, outs = jax.lax.scan(body, w, None, length=args.reps)
         return outs.sum()
 
-    float(run(variables, wavs))  # compile + warm
+    float(run(variables, fst_tables, wavs))  # compile + warm
     t0 = time.perf_counter()
-    float(run(variables, wavs))
+    float(run(variables, fst_tables, wavs))
     dt = (time.perf_counter() - t0) / args.reps
     utts = args.batch / dt
     rtf = dt / (args.batch * args.seconds)
