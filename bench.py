@@ -138,14 +138,20 @@ def main():
         )
     )
     # BENCH_ATTN_CHUNK / BENCH_CHEAP_DROPOUT / BENCH_REMAT: attention-path
-    # experiments (default off = the reference-parity full path)
+    # knobs.  BENCH_CHEAP_DROPOUT default "auto" matches the trainers'
+    # --attn_cheap_dropout auto: the head-shared bits-threshold attention
+    # dropout pairs with the hardware RNG on accelerators (unbiased;
+    # measured 334.5 -> 312.5 ms/step at flagship batch 32); "0" forces
+    # the per-head bernoulli path, "1" forces cheap.
+    cheap_env = _os.environ.get("BENCH_CHEAP_DROPOUT", "auto")
+    cheap = (rng_impl == "rbg") if cheap_env == "auto" else cheap_env == "1"
     cfg = TransducerConfig(
         input_dim=240, vocab_size=VOCAB, hid_dim=1024,
         encoder_type="tdnn_transformer", decoder_type="rnn",
         enc_layers=9, dec_layers=2, embd_dim=100,
         tdnn_nhid=1024, tdnn_layers=9,
         attn_chunk=int(_os.environ.get("BENCH_ATTN_CHUNK", "0")),
-        attn_cheap_dropout=_os.environ.get("BENCH_CHEAP_DROPOUT", "") == "1",
+        attn_cheap_dropout=cheap,
         remat=_os.environ.get("BENCH_REMAT", "") == "1",
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg, max_t=80, max_u=8)

@@ -79,6 +79,9 @@ def configure_rng(args) -> None:
     # Always set the resolved impl — an explicit threefry pin must win
     # even when the ambient default was changed (JAX_DEFAULT_PRNG_IMPL).
     jax.config.update("jax_default_prng_impl", impl)
+    # stash the resolution for downstream auto policies (attn_cheap_dropout)
+    args.rng_impl_resolved = impl
+    return impl
 
 
 def host_key(key):
@@ -163,6 +166,33 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                              "~1/3 extra encoder FLOPs for not holding the "
                              "attention tensors in HBM — enables longer "
                              "utterances / larger batches per chip")
+    parser.add_argument("--attn_cheap_dropout", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="attention-probability dropout via a single "
+                             "bits-threshold mask shared across heads "
+                             "(unbiased, head-correlated noise, 16x fewer "
+                             "random bits than per-head bernoulli; "
+                             "tests/test_attn_options.py pins the "
+                             "expectation).  auto (default) = on when the "
+                             "resolved --rng_impl is rbg (accelerators), "
+                             "off under threefry so the deterministic "
+                             "recipes' committed-verbatim WERs reproduce.  "
+                             "Measured at flagship batch 32 under rbg: "
+                             "334.5 -> 312.5 ms/step (+7%%, BASELINE.md "
+                             "round-5 profile)")
+
+
+def resolve_cheap_dropout(args) -> bool:
+    """``--attn_cheap_dropout`` policy: explicit on/off wins; auto pairs
+    the cheap mask with the hardware RNG (rbg) the same way --rng_impl
+    auto pairs rbg with accelerators.  Requires configure_rng(args) to
+    have run (it stashes ``rng_impl_resolved``)."""
+    flag = getattr(args, "attn_cheap_dropout", "auto")
+    if flag == "on":
+        return True
+    if flag == "off":
+        return False
+    return getattr(args, "rng_impl_resolved", "threefry2x32") == "rbg"
 
 
 def add_train_args(parser: argparse.ArgumentParser) -> None:

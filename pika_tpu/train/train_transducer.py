@@ -73,6 +73,7 @@ def make_model(args, input_dim):
         tdnn_transformer_dropout=args.tdnn_transformer_dropout,
         remat=getattr(args, "remat", False),
         attn_chunk=getattr(args, "attn_chunk", 0),
+        attn_cheap_dropout=common.resolve_cheap_dropout(args),
     )
     if args.init_model:
         model, variables, _ = load_bundle(args.init_model)

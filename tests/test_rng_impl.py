@@ -33,11 +33,35 @@ def test_configure_rng_sets_default(rbg_default):
 
     jax.config.update("jax_default_prng_impl", "threefry2x32")
     args = argparse.Namespace(rng_impl="rbg")
-    common.configure_rng(args)
+    assert common.configure_rng(args) == "rbg"
     assert jax.config.jax_default_prng_impl == "rbg"
-    # threefry2x32 request is a no-op (doesn't clobber an ambient impl)
-    common.configure_rng(argparse.Namespace(rng_impl="threefry2x32"))
-    assert jax.config.jax_default_prng_impl == "rbg"
+    assert args.rng_impl_resolved == "rbg"
+    # an explicit threefry pin must WIN over an ambient rbg default
+    # (e.g. JAX_DEFAULT_PRNG_IMPL in the environment) — the deterministic
+    # recipes' committed-verbatim WERs depend on it (ADVICE r4)
+    assert common.configure_rng(
+        argparse.Namespace(rng_impl="threefry2x32")) == "threefry2x32"
+    assert jax.config.jax_default_prng_impl == "threefry2x32"
+
+
+def test_resolve_cheap_dropout_policy():
+    import argparse
+
+    from pika_tpu.train import common
+
+    # explicit on/off wins regardless of rng resolution
+    assert common.resolve_cheap_dropout(
+        argparse.Namespace(attn_cheap_dropout="on")) is True
+    assert common.resolve_cheap_dropout(argparse.Namespace(
+        attn_cheap_dropout="off", rng_impl_resolved="rbg")) is False
+    # auto pairs with the resolved rng impl: rbg -> cheap, threefry -> full
+    assert common.resolve_cheap_dropout(argparse.Namespace(
+        attn_cheap_dropout="auto", rng_impl_resolved="rbg")) is True
+    assert common.resolve_cheap_dropout(argparse.Namespace(
+        attn_cheap_dropout="auto", rng_impl_resolved="threefry2x32")) is False
+    # before configure_rng ran (no resolution stashed) auto is conservative
+    assert common.resolve_cheap_dropout(
+        argparse.Namespace(attn_cheap_dropout="auto")) is False
 
 
 def test_rbg_key_host_roundtrip(rbg_default):
