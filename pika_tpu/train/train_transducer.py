@@ -289,7 +289,13 @@ def main(argv=None):
                     yield g, len(g)
 
         def pack_group(item):
-            """Stack a group on host, pad ragged tails, ship ONE transfer."""
+            """Stack a group on host, pad ragged tails, ship ONE transfer.
+            Runs on the prefetch thread, so the transfer overlaps the
+            device steps; t_ready (transfer COMPLETE — block_until_ready)
+            feeds the per-epoch overlap stats that prove the H2D issued
+            ahead of consumption."""
+            import time as _time
+
             g, n_real = item
             g = list(g) + [g[-1]] * (n_per_dispatch - len(g))
             stacked = {
@@ -302,7 +308,8 @@ def main(argv=None):
                           for k, v in stacked.items()},
                 "apply": jax.device_put(apply, rep),
             }
-            return dev, n_real
+            jax.block_until_ready(dev["batch"])
+            return dev, n_real, _time.perf_counter()
 
         def run_epoch(epoch, state):
             logger = Logger(log_f, args.log_per_n_frames, ["Loss"])
@@ -330,7 +337,20 @@ def main(argv=None):
                 transform=pack_group,
             )
             n_batches = 0
-            for dev, n_real in stream:
+            import time as _time
+
+            waits = []   # how long the consumer blocked per dispatch
+            leads = []   # how long the transferred batch sat ready
+            it = iter(stream)
+            while True:
+                t0w = _time.perf_counter()
+                try:
+                    dev, n_real, t_ready = next(it)
+                except StopIteration:
+                    break
+                t1w = _time.perf_counter()
+                waits.append(t1w - t0w)
+                leads.append(t1w - t_ready)
                 key, sub = jax.random.split(key)
                 state, metrics = dp_step(state, dev, common.host_key(sub))
                 utt_box[0] += loader_cfg.batch_size * n_real
@@ -338,6 +358,12 @@ def main(argv=None):
                 pending.append((metrics, n_real))
                 if len(pending) * n_per_dispatch >= 8:
                     drain()
+            if leads:
+                ahead = sum(1 for l in leads if l > 5e-3)
+                log_f.write(
+                    f"prefetch overlap: {ahead}/{len(leads)} dispatches "
+                    f"H2D-complete before request; consumer wait total "
+                    f"{sum(waits):.2f}s (max {max(waits):.2f}s)\n")
                 if args.save_every_n_batches and n_batches % args.save_every_n_batches < n_real:
                     drain()
                     # every process calls: Orbax saves are collective

@@ -83,7 +83,7 @@ def main():
     ])
     total = time.perf_counter() - t0
     for line in open(log):
-        if re.search(r"wall .*utt/s", line):
+        if re.search(r"wall .*utt/s|prefetch overlap", line):
             print(line.strip())
     print(f"total wall (incl. compile + checkpoint saves): {total:.1f}s")
 
