@@ -22,6 +22,9 @@ python -m pika_tpu.train.eval_transducer \
   --sm_scale 1.2 --output_scores \
   2> $out/score.log
   # shallow fusion:   --fst_lm lm.arpa --fst_lm_scale 0.3 --nonblk_reward 0.4
+  #                   (--fst_cache_file auto persists the dense advance
+  #                    cache next to the LM and skips the ~30 s host
+  #                    build on later decode runs)
   # LAS rescoring:    --las_rescorer_model exp/las_fw/model.epoch.3 \
   #                   --las_rescorer_bw_model exp/las_bw/model.epoch.3 \
   #                   --SOS 0 --EOS 6268
