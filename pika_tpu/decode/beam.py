@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pika_tpu.decode.fst import fst_advance_sets, fst_final_scores
+from pika_tpu.decode.fst import (fst_advance_min_costs,
+                                 fst_advance_min_costs_all,
+                                 fst_advance_sets, fst_final_scores)
 from pika_tpu.models.transducer import Transducer
 from pika_tpu.utils.dtypes import cast_floats, resolve_mm_dtype
 
@@ -51,14 +53,21 @@ class BeamConfig:
     nonblk_reward: float = 0.0
     max_fst_states: int = 4
     fst_backoff_levels: int = 6
-    # per-candidate shallow fusion: advance the LM for each expanded
-    # candidate (blank + the top-lm_topm non-blank model candidates per
-    # beam) and select on model + lm_scale * ACTUAL advanced LM score —
-    # the reference's semantics (beam_transducer.py:136-159).  False =
-    # the cheaper per-beam bias: the prefix LM score biases cross-beam
-    # competition but is constant over vocab, so the LM influences which
-    # BEAM survives, not which token a beam picks (one step delayed).
+    # per-candidate shallow fusion: score each expanded candidate (blank +
+    # the top-lm_topm non-blank model candidates per beam) with its ACTUAL
+    # advanced LM score and select on model + lm_scale * LM.  This is a
+    # pika_tpu extension BEYOND the reference: the reference's selection
+    # bias is the per-beam prefix LM score broadcast over the vocabulary,
+    # with state sets advanced only for the k winners AFTER top-k
+    # (beam_transducer.py:93-97,136-159) — i.e. lm_per_token=False is the
+    # reference's exact semantics (the LM influences which BEAM survives,
+    # not which token a beam picks — one step delayed).  Per-token
+    # selection wins 2.7-6.2 WER points on the grammar matrix
+    # (BASELINE.md) and is the CLI default.
     lm_per_token: bool = False
+    # non-blank candidates per beam scored with their advanced LM score in
+    # per-token mode; 0 = EXACT: score every vocabulary entry (requires
+    # the dense advance cache, fst.py build_advance_cache)
     lm_topm: int = 8
     # matmul compute dtype inside the decode loop: "auto" = bf16 on TPU
     # (MXU native, ~2x f32), f32 elsewhere.  Scores, log_softmax and all
@@ -316,7 +325,44 @@ def beam_search(
         )
 
         # --- top-k continuation ------------------------------------------
-        if per_token:
+        has_cache = use_lm and "adv_cost" in fst_tables
+        if per_token and cfg.lm_topm <= 0 and not has_cache:
+            raise ValueError(
+                "lm_topm=0 (exact per-token fusion) needs the dense advance "
+                "cache — build fst_tables with device_arrays(n_ilabels=..., "
+                "cache_max_bytes>0) or set lm_topm > 0")
+        if per_token and cfg.lm_topm <= 0:
+            # EXACT per-token fusion: score EVERY (beam, token) candidate
+            # with its true advanced LM score (one dense row gather + min
+            # over the state set) and pick top-k over the full vocabulary —
+            # no top-m candidate restriction.  Winners' state sets are
+            # advanced after selection (below), like the reference.
+            lm_tok = fst_advance_min_costs_all(
+                fst_tables, st.fst_states, st.fst_costs,
+                cfg.nonblk_reward)               # (B, K, Vt) over FST ilabels
+            vt = lm_tok.shape[-1]
+            # token v emits FST ilabel v+1; tokens beyond the table are dead
+            if vt >= vocab + 1:
+                lm_grid = lm_tok[..., 1 : vocab + 1]
+            else:
+                pad = jnp.full(lm_tok.shape[:-1] + (vocab + 1 - vt,), -1e30)
+                lm_grid = jnp.concatenate([lm_tok, pad], -1)[..., 1 : vocab + 1]
+            lm_grid = jnp.maximum(lm_grid, NEG)
+            # the blank candidate carries the prefix LM set through unchanged
+            lm_grid = lm_grid.at[..., cfg.blank].set(st.lm_scores)
+            sel = (cand + cfg.lm_scale * lm_grid).reshape(b, k * vocab)
+            _, top_idx = jax.lax.top_k(sel, k)
+            prev_k = top_idx // vocab
+            tok = (top_idx % vocab).astype(jnp.int32)
+            new_scores = jnp.take_along_axis(
+                cand.reshape(b, k * vocab), top_idx, axis=1)
+            sel_lm = jnp.take_along_axis(
+                lm_grid.reshape(b, k * vocab), top_idx, axis=1)
+            # a candidate whose LM state set died cannot continue in-grammar
+            # or ever finish — kill it instead of zombie-decoding LM-free
+            new_scores = jnp.where(sel_lm <= NEG / 2, NEG, new_scores)
+            lm_prev = _gather_beams(st.lm_scores, prev_k)
+        elif per_token:
             # blank + top-m non-blank candidates per beam, each scored with
             # its actual advanced LM score (candidate restriction is safe:
             # at most k winners, and a candidate outside the model top-m
@@ -324,22 +370,25 @@ def beam_search(
             m = min(cfg.lm_topm, vocab - 1)
             nb_val, nb_tok = jax.lax.top_k(cand.at[..., cfg.blank].set(NEG), m)
             s_cap = st.fst_states.shape[-1]
-            adv_states, adv_costs, adv_lm = fst_advance_sets(
-                fst_tables,
-                jnp.broadcast_to(st.fst_states[:, :, None], (b, k, m, s_cap)),
-                jnp.broadcast_to(st.fst_costs[:, :, None], (b, k, m, s_cap)),
-                nb_tok + 1,  # FST ilabels are shifted by one
-                cfg.fst_backoff_levels, cfg.nonblk_reward)
+            bs = jnp.broadcast_to(st.fst_states[:, :, None], (b, k, m, s_cap))
+            bc = jnp.broadcast_to(st.fst_costs[:, :, None], (b, k, m, s_cap))
+            if has_cache:
+                # selection needs only each candidate's best advanced cost;
+                # the k winners' full sets are advanced after selection
+                # (bit-identical lm, fst_advance_min_costs docstring)
+                adv_lm = fst_advance_min_costs(
+                    fst_tables, bs, bc, nb_tok + 1, cfg.nonblk_reward)
+            else:
+                adv_states, adv_costs, adv_lm = fst_advance_sets(
+                    fst_tables, bs, bc,
+                    nb_tok + 1,  # FST ilabels are shifted by one
+                    cfg.fst_backoff_levels, cfg.nonblk_reward)
             adv_lm = jnp.maximum(adv_lm, NEG)
             mc = m + 1  # candidate 0 is blank: prefix LM set unchanged
             vals = jnp.concatenate([cand[..., cfg.blank][..., None], nb_val], -1)
             lm_all = jnp.concatenate([st.lm_scores[..., None], adv_lm], -1)
             toks = jnp.concatenate(
                 [jnp.full((b, k, 1), cfg.blank, jnp.int32), nb_tok], -1)
-            states_all = jnp.concatenate(
-                [st.fst_states[:, :, None], adv_states], axis=2)
-            costs_all = jnp.concatenate(
-                [st.fst_costs[:, :, None], adv_costs], axis=2)
             sel = (vals + cfg.lm_scale * lm_all).reshape(b, k * mc)
             _, top_idx = jax.lax.top_k(sel, k)
             prev_k = top_idx // mc
@@ -349,10 +398,17 @@ def beam_search(
                 vals.reshape(b, k * mc), top_idx, axis=1)
             sel_lm = jnp.take_along_axis(
                 lm_all.reshape(b, k * mc), top_idx, axis=1)
-            sel_states = jnp.take_along_axis(
-                states_all.reshape(b, k * mc, s_cap), top_idx[..., None], axis=1)
-            sel_costs = jnp.take_along_axis(
-                costs_all.reshape(b, k * mc, s_cap), top_idx[..., None], axis=1)
+            if not has_cache:
+                states_all = jnp.concatenate(
+                    [st.fst_states[:, :, None], adv_states], axis=2)
+                costs_all = jnp.concatenate(
+                    [st.fst_costs[:, :, None], adv_costs], axis=2)
+                sel_states = jnp.take_along_axis(
+                    states_all.reshape(b, k * mc, s_cap), top_idx[..., None],
+                    axis=1)
+                sel_costs = jnp.take_along_axis(
+                    costs_all.reshape(b, k * mc, s_cap), top_idx[..., None],
+                    axis=1)
             # a candidate whose LM state set died cannot continue in-grammar
             # or ever finish — kill it instead of zombie-decoding LM-free
             new_scores = jnp.where(sel_lm <= NEG / 2, NEG, new_scores)
@@ -420,11 +476,16 @@ def beam_search(
         dec_gy = jnp.where(keep, new_gy, dec_gy.reshape(b * k, hid)).reshape(b, k, hid)
 
         lm_scores = lm_prev
-        if per_token:
-            # the selected candidates' sets were advanced BEFORE selection;
-            # candidate 0 (blank) carried the prefix set through unchanged
+        if per_token and not has_cache:
+            # walk path: the selected candidates' sets were advanced BEFORE
+            # selection; candidate 0 (blank) carried the prefix set through
             fst_states, fst_costs, lm_scores = sel_states, sel_costs, sel_lm
         elif use_lm:
+            # per-beam mode, and per-token with the dense cache: advance
+            # only the k winners' sets — exactly when the reference
+            # advances them (beam_transducer.py:136-159).  In per-token
+            # mode the resulting lm equals the selection-time sel_lm
+            # bit-for-bit (fst_advance_min_costs docstring).
             adv_states, adv_costs, adv_lm = fst_advance_sets(
                 fst_tables, fst_states, fst_costs,
                 tok + 1,  # FST ilabels are shifted by one (beam_transducer.py:139)

@@ -774,6 +774,52 @@ def _dedup_top_s(cand_states, cand_costs, s_cap: int, nonblk_reward):
     return new_states, new_costs, lm
 
 
+def fst_advance_min_costs(
+    tables: dict,
+    states: jnp.ndarray,   # (..., S) int32, -1 padded
+    costs: jnp.ndarray,    # (..., S) float32, INF padded
+    ilabel: jnp.ndarray,   # (...) int32
+    nonblk_reward: float = 0.0,
+):
+    """Selection-time LM score from the dense advance cache WITHOUT
+    materializing the advanced state set: ``nonblk_reward −
+    min_{j,l}(costs_j + adv_cost[state_j, ilabel, l])``, −INF for a dead
+    set.  Bit-identical to ``fst_advance_sets``'s ``lm_score`` output (the
+    set dedup + top-S keep the min, and IEEE subtraction is antisymmetric
+    so folding the reward before or after the min agrees exactly) at a
+    fraction of the work — the per-token-fusion decode step scores every
+    candidate with this and advances full sets only for the k winners,
+    which is also when the reference advances them
+    (beam_transducer.py:136-159).  Requires ``adv_cost`` in ``tables``."""
+    lab = jnp.clip(ilabel[..., None], 0, tables["adv_cost"].shape[1] - 1)
+    safe_s = jnp.maximum(states, 0)
+    ac = tables["adv_cost"][safe_s, lab]          # (..., S, Lm)
+    entry_ok = ((states >= 0) & (costs < INF))[..., None]
+    total = jnp.where(entry_ok, costs[..., None] + ac, INF)
+    minc = jnp.min(total, axis=(-2, -1))
+    return jnp.where(minc < INF / 2, nonblk_reward - minc, -INF)
+
+
+def fst_advance_min_costs_all(
+    tables: dict,
+    states: jnp.ndarray,   # (..., S) int32, -1 padded
+    costs: jnp.ndarray,    # (..., S) float32, INF padded
+    nonblk_reward: float = 0.0,
+):
+    """EXACT per-token selection scores: the advance LM score for EVERY
+    ilabel at once — one dense row gather ``adv_cost[states]`` (each row
+    is a contiguous (V, Lm) block of the cache) + a min over the state
+    set.  Returns (..., V_ilabels).  Lets the beam score the full
+    vocabulary with its true advanced LM cost (``lm_topm=0``), removing
+    the top-m candidate restriction entirely."""
+    safe_s = jnp.maximum(states, 0)
+    ra = tables["adv_cost"][safe_s]               # (..., S, Vt, Lm)
+    entry_ok = ((states >= 0) & (costs < INF))[..., None, None]
+    total = jnp.where(entry_ok, costs[..., None, None] + ra, INF)
+    minc = jnp.min(jnp.min(total, axis=-1), axis=-2)   # (..., Vt)
+    return jnp.where(minc < INF / 2, nonblk_reward - minc, -INF)
+
+
 def fst_advance_sets(
     tables: dict,
     states: jnp.ndarray,   # (..., S) int32, -1 padded

@@ -53,6 +53,11 @@ class TransducerConfig:
     dec_d_model: int = 512
     dec_heads: int = 8
     dec_d_ff: int = 2048
+    # pruned-loss training (ops/rnnt_pruned.py): adds two cheap linear
+    # heads whose ADDITIVE joint picks the per-frame label band that the
+    # full gated joint is evaluated on.  Off by default — the flag only
+    # adds parameters; the full-lattice fused loss stays available.
+    simple_joint: bool = False
 
     @property
     def pad_id(self) -> int:
@@ -100,6 +105,9 @@ class Transducer(nn.Module):
         self.gate_x = nn.Dense(h, use_bias=False, name="gate_x")
         self.gate_y = nn.Dense(h, name="gate_y")
         self.fc2 = nn.Dense(cfg.vocab_size, name="fc2")
+        if cfg.simple_joint:
+            self.simple_am = nn.Dense(cfg.vocab_size, name="simple_am")
+            self.simple_lm = nn.Dense(cfg.vocab_size, name="simple_lm")
 
     # ---- components --------------------------------------------------
 
@@ -209,6 +217,12 @@ class Transducer(nn.Module):
         gate = gx[:, :, None, :] + gy[:, None, :, :]
         return self.fc2(jnp.tanh(pre) * jax.nn.sigmoid(gate))
 
+    def simple_factors(self, enc_out: jnp.ndarray, dec_out: jnp.ndarray):
+        """Additive-joint heads for pruned-loss training: (am (B, T, V),
+        lm (B, U+1, V)) with ``logit(t, u) = am[t] + lm[u]``
+        (ops/rnnt_pruned.py; requires config.simple_joint)."""
+        return self.simple_am(enc_out), self.simple_lm(dec_out)
+
     def joint_params(self):
         """(W2, b2) of the output projection, for the fused loss kernel."""
         p = self.variables["params"]["fc2"]
@@ -228,6 +242,9 @@ class Transducer(nn.Module):
         """Full-lattice forward: log-probs (B, T', U+1, V)."""
         enc = self.encode(x, x_len, train=train)
         dec = self.predict(y, y_len, train=train)
+        if self.config.simple_joint and self.is_initializing():
+            # touch the pruned-loss heads so init creates their params
+            self.simple_factors(enc, dec)
         out = self.joint_logits(enc, dec)
         if softmax:
             out = jax.nn.log_softmax(out, axis=-1)

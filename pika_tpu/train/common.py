@@ -251,6 +251,25 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--loss_chunk", type=int, default=16)
     parser.add_argument("--loss_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--pruned_loss_range", type=int, default=0,
+                        help="train with the pruned RNN-T objective "
+                             "(ops/rnnt_pruned.py): the full gated joint "
+                             "is evaluated only on a per-frame band of N "
+                             "label positions picked by a cheap additive "
+                             "'simple' joint (k2-style), cutting the loss "
+                             "slice's B*T*U*H*V matmul by ~U/N.  0 "
+                             "(default) = the exact full-lattice fused "
+                             "loss.  Adds two linear heads to the model "
+                             "(config.simple_joint)")
+    parser.add_argument("--simple_loss_scale", type=float, default=0.5,
+                        help="auxiliary simple-joint loss weight under "
+                             "--pruned_loss_range")
+    parser.add_argument("--pruned_warmup_epochs", type=int, default=2,
+                        help="epochs that down-weight the banded term to "
+                             "0.1 while the simple joint's alignment "
+                             "stabilizes (k2-style warmup; a cold-start "
+                             "simple joint yields degenerate bands that "
+                             "the pruned objective would lock in)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="model compute precision (master params stay f32)")

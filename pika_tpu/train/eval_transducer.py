@@ -128,19 +128,27 @@ def build_parser():
     parser.add_argument("--fst_fusion", type=str, default="per_token",
                         choices=["per_token", "per_beam"],
                         help="shallow-fusion mode: per_token (default) "
-                             "advances the LM for each expanded candidate "
-                             "and selects on the actual advanced LM score "
-                             "(the reference's beam_transducer semantics, "
-                             "beam_transducer.py:136-159; wins 2.6-2.7 WER "
-                             "points absolute on the grammar matrix at RTF "
-                             "0.026); per_beam is the cheaper prefix-LM "
-                             "bias (RTF 0.0042)")
+                             "scores each expanded candidate with its "
+                             "actual advanced LM score at selection time — "
+                             "a pika_tpu extension that wins 2.7-6.2 WER "
+                             "points absolute on the grammar matrix; "
+                             "per_beam is the reference's exact semantics "
+                             "(prefix-LM bias broadcast over the vocab, "
+                             "winners' state sets advanced after top-k, "
+                             "beam_transducer.py:93-97,136-159)")
     parser.add_argument("--fst_per_token", action="store_true",
                         help="alias for --fst_fusion per_token (the "
                              "default; kept for recipe compatibility)")
-    parser.add_argument("--fst_topm", type=int, default=8,
-                        help="non-blank candidates per beam considered by "
-                             "--fst_per_token")
+    parser.add_argument("--fst_topm", type=int, default=0,
+                        help="non-blank candidates per beam scored with "
+                             "their advanced LM score by --fst_per_token. "
+                             "0 (default) = EXACT: score the full "
+                             "vocabulary via the dense advance cache — "
+                             "both more exact AND faster than a top-m "
+                             "restriction (116 vs 56 utt/s at flagship "
+                             "scale, BASELINE.md round 5); falls back to "
+                             "top-8 when the cache is unavailable "
+                             "(--fst_cache_mb 0 or LM too big)")
     parser.add_argument("--fst_cache_mb", type=int, default=512,
                         help="budget (MB) for the host-precomputed dense "
                              "advance cache (n_states x vocab x Lm) that "
@@ -239,13 +247,21 @@ def main(argv=None):
                   f"({fst_tables['adv_cost'].nbytes * 2 >> 20} MB)",
                   file=sys.stderr)
 
+    lm_topm = args.fst_topm
+    if (fst_tables is not None and lm_topm <= 0
+            and "adv_cost" not in fst_tables):
+        print("per-token fusion: exact selection (--fst_topm 0) needs the "
+              "dense advance cache, unavailable here (--fst_cache_mb 0 or "
+              "LM too big) — falling back to the top-8 candidate walk",
+              file=sys.stderr)
+        lm_topm = 8
     cfg = BeamConfig(
         beam_size=args.beam_size, n_best=args.n_best, blank=args.blk,
         sm_scale=args.sm_scale, max_symbols=args.max_symbols,
         lm_scale=args.fst_lm_scale if fst_tables is not None else 0.0,
         nonblk_reward=args.nonblk_reward, max_fst_states=args.max_fst_states,
         lm_per_token=args.fst_per_token or args.fst_fusion == "per_token",
-        lm_topm=args.fst_topm,
+        lm_topm=lm_topm,
         mm_dtype=args.decode_dtype,
     )
 

@@ -125,8 +125,23 @@ def transducer_loss(
     dropout_key=None,
     loss_chunk: int = 32,
     loss_backend: str = "auto",
+    pruned_range: int = 0,
+    simple_scale: float = 0.5,
+    pruned_scale: float = 1.0,
 ):
-    """Fused-loss forward; returns (loss_sum, new_batch_stats)."""
+    """Fused-loss forward; returns (loss_sum, new_batch_stats).
+
+    ``pruned_range > 0`` switches to the pruned objective
+    (ops/rnnt_pruned.py): ``pruned_scale`` times the full gated joint's
+    loss on a per-frame band of ``pruned_range`` label positions picked by
+    the additive simple joint, plus ``simple_scale`` times the simple
+    loss.  Requires a model built with ``config.simple_joint=True``.
+    ``pruned_scale < 1`` is the k2-style warmup: early in training the
+    simple joint's alignment is noise, so the band is noise — the
+    trainers down-weight the banded term (0.1) for the first
+    ``--pruned_warmup_epochs`` so the simple heads stabilize first
+    (without it, cold-start collapses into a degenerate all-emissions-
+    up-front alignment that the band then locks in)."""
     if loss_backend == "auto":
         loss_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     variables = {"params": params}
@@ -142,14 +157,15 @@ def transducer_loss(
         dec = mdl.predict(labels, label_lens, train=train)
         ax, gx, ay, gy = mdl.joint_factors(enc, dec)
         w2, b2 = mdl.joint_params()
-        return ax, gx, ay, gy, w2, b2
+        simple = mdl.simple_factors(enc, dec) if pruned_range > 0 else None
+        return ax, gx, ay, gy, w2, b2, simple
 
     out = model.apply(variables, method=fwd, mutable=mutable, rngs=rngs)
     if mutable:
-        (ax, gx, ay, gy, w2, b2), new_vars = out
+        (ax, gx, ay, gy, w2, b2, simple), new_vars = out
         new_stats = new_vars.get("batch_stats", batch_stats)
     else:
-        ax, gx, ay, gy, w2, b2 = out
+        ax, gx, ay, gy, w2, b2, simple = out
         new_stats = batch_stats
     # The fused loss kernels take f32 factors (their MXU matmuls downcast
     # to bf16 internally with f32 accumulation); under bf16 compute the
@@ -158,6 +174,21 @@ def transducer_loss(
     # keeps one tested kernel configuration for every compute_dtype.
     ax, gx, ay, gy, w2, b2 = (x.astype(jnp.float32)
                               for x in (ax, gx, ay, gy, w2, b2))
+    if pruned_range > 0:
+        from pika_tpu.ops.rnnt_pruned import (prune_ranges, rnnt_loss_pruned,
+                                              rnnt_loss_simple)
+
+        am, lm = (x.astype(jnp.float32) for x in simple)
+        simple_losses, (blp, elp) = rnnt_loss_simple(
+            am, lm, labels, enc_lens, label_lens)
+        s_begin = prune_ranges(blp, elp, labels, enc_lens, label_lens,
+                               pruned_range)
+        pruned_losses = rnnt_loss_pruned(
+            ax, gx, ay, gy, w2, b2, labels, enc_lens, label_lens,
+            s_begin, pruned_range, chunk=max(loss_chunk, 64))
+        total = (pruned_scale * pruned_losses.sum()
+                 + simple_scale * simple_losses.sum())
+        return total, new_stats
     losses = rnnt_loss_fused(
         ax, gx, ay, gy, w2, b2, labels, enc_lens, label_lens, loss_chunk, loss_backend
     )
@@ -175,6 +206,9 @@ def make_train_step(
     compute_dtype=None,
     donate: bool = True,
     jit: bool = True,
+    pruned_range: int = 0,
+    simple_scale: float = 0.5,
+    pruned_scale: float = 1.0,
 ):
     """Build the jitted train step.
 
@@ -207,6 +241,8 @@ def make_train_step(
                 f, enc_in_lens, batch["labels"], batch["label_lens"],
                 train=True, dropout_key=kd,
                 loss_chunk=loss_chunk, loss_backend=loss_backend,
+                pruned_range=pruned_range, simple_scale=simple_scale,
+                pruned_scale=pruned_scale,
             )
             if compute_dtype is not None:
                 new_stats = cast_floats(new_stats, jnp.float32)

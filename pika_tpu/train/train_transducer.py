@@ -74,6 +74,7 @@ def make_model(args, input_dim):
         remat=getattr(args, "remat", False),
         attn_chunk=getattr(args, "attn_chunk", 0),
         attn_cheap_dropout=common.resolve_cheap_dropout(args),
+        simple_joint=getattr(args, "pruned_loss_range", 0) > 0,
     )
     if args.init_model:
         model, variables, _ = load_bundle(args.init_model)
@@ -246,10 +247,17 @@ def main(argv=None):
         from pika_tpu.parallel.mesh import data_sharding, replicated
 
         cdt = _jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
-        step = make_train_step(model, tx, featurizer,
-                               loss_chunk=args.loss_chunk,
-                               loss_backend=args.loss_backend,
-                               compute_dtype=cdt, donate=True, jit=False)
+
+        def build_step(p_scale):
+            return make_train_step(model, tx, featurizer,
+                                   loss_chunk=args.loss_chunk,
+                                   loss_backend=args.loss_backend,
+                                   compute_dtype=cdt, donate=True, jit=False,
+                                   pruned_range=args.pruned_loss_range,
+                                   simple_scale=args.simple_loss_scale,
+                                   pruned_scale=p_scale)
+
+        step = build_step(1.0)
         n_per_dispatch = max(1, args.steps_per_dispatch)
 
         # K train steps per dispatch: one H2D transfer + one XLA program
@@ -263,12 +271,22 @@ def main(argv=None):
 
         rep = replicated(mesh)
         dsh = data_sharding(mesh, leading_unsharded=1)
-        dp_step = jax.jit(
-            multi_step,
-            in_shardings=(rep, {"batch": dsh, "apply": rep}, rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
+
+        def jit_multi(fn):
+            return jax.jit(
+                fn,
+                in_shardings=(rep, {"batch": dsh, "apply": rep}, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+
+        dp_step = jit_multi(multi_step)
+        # k2-style pruned warmup: a separately compiled step with the
+        # banded term at 0.1 for the first --pruned_warmup_epochs
+        dp_step_warm = (
+            jit_multi(make_scanned_step(build_step(0.1)))
+            if args.pruned_loss_range > 0 and args.pruned_warmup_epochs > 0
+            else dp_step)
         state = replicate_tree(state, mesh)
 
         def group_batches(stream):
@@ -352,7 +370,9 @@ def main(argv=None):
                 waits.append(t1w - t0w)
                 leads.append(t1w - t_ready)
                 key, sub = jax.random.split(key)
-                state, metrics = dp_step(state, dev, common.host_key(sub))
+                fn = (dp_step_warm if epoch < args.pruned_warmup_epochs
+                      and args.pruned_loss_range > 0 else dp_step)
+                state, metrics = fn(state, dev, common.host_key(sub))
                 utt_box[0] += loader_cfg.batch_size * n_real
                 n_batches += n_real
                 pending.append((metrics, n_real))
@@ -388,27 +408,39 @@ def main(argv=None):
 
         from pika_tpu.train.step import batch_inputs
 
-        def local_step(params, opt_state, stats, lbatch, key):
-            kf, kd = jax.random.split(key)
-            x, x_lens = batch_inputs(lbatch)
-            feats, feat_lens = featurizer(kf, x, x_lens, True)
+        def build_local_step(p_scale):
+            def local_step(params, opt_state, stats, lbatch, key):
+                kf, kd = jax.random.split(key)
+                x, x_lens = batch_inputs(lbatch)
+                feats, feat_lens = featurizer(kf, x, x_lens, True)
 
-            def loss_fn(p):
-                return transducer_loss(
-                    model, p, stats, feats, feat_lens,
-                    lbatch["labels"], lbatch["label_lens"], train=True,
-                    dropout_key=kd, loss_chunk=args.loss_chunk,
-                    loss_backend=args.loss_backend,
-                )
+                def loss_fn(p):
+                    return transducer_loss(
+                        model, p, stats, feats, feat_lens,
+                        lbatch["labels"], lbatch["label_lens"], train=True,
+                        dropout_key=kd, loss_chunk=args.loss_chunk,
+                        loss_backend=args.loss_backend,
+                        pruned_range=args.pruned_loss_range,
+                        simple_scale=args.simple_loss_scale,
+                        pruned_scale=p_scale,
+                    )
 
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, new_stats, {
-                "loss": loss, "num_labels": lbatch["label_lens"].sum(),
-            }
+                (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, new_stats, {
+                    "loss": loss, "num_labels": lbatch["label_lens"].sum(),
+                }
+            return local_step
 
-        round_fn = make_bmuf_round(local_step, tx.init, bcfg, mesh, reduce_extra=True)
+        round_fn = make_bmuf_round(build_local_step(1.0), tx.init, bcfg,
+                                   mesh, reduce_extra=True)
+        # k2-style pruned warmup round (banded term at 0.1)
+        round_fn_warm = (
+            make_bmuf_round(build_local_step(0.1), tx.init, bcfg, mesh,
+                            reduce_extra=True)
+            if args.pruned_loss_range > 0 and args.pruned_warmup_epochs > 0
+            else round_fn)
         resumed_steps = None
         if args.resume:
             try:
@@ -466,7 +498,9 @@ def main(argv=None):
                     transform=stack_and_ship):
                 key, sub = jax.random.split(key)
                 nonlocal_stats = stats_box[0]
-                bstate_, new_stats, ok, metrics = round_fn(
+                rf = (round_fn_warm if epoch < args.pruned_warmup_epochs
+                      and args.pruned_loss_range > 0 else round_fn)
+                bstate_, new_stats, ok, metrics = rf(
                     bstate_, nonlocal_stats, stacked,
                     common.host_key(sub), step_box[0]
                 )

@@ -352,6 +352,81 @@ def test_greedy_configurable_blank_matches_beam1(rng):
         assert not np.any(np.asarray(g_hyps[i, :gl]) == 2)
 
 
+def test_per_token_exact_matches_full_topm(rng, tmp_path):
+    """lm_topm=0 (exact full-vocab per-token fusion, cache path) must be
+    byte-identical to the top-m path with m covering the whole vocabulary —
+    on a tiny vocab, lm_topm = vocab-1 makes the restricted path complete,
+    so the two selections rank the same candidate set."""
+    model, variables, cfg = _tiny_model(rng, vocab=4)
+    enc, lens = _enc(model, variables, rng, b=2, t=5)
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text(
+        "0 1 2 2 0.6\n0 2 3 3 1.1\n0 0 4 4 2.0\n"
+        "1 2 3 3 0.2\n1 0 0 0 0.5\n"
+        "2 1 2 2 0.4\n2 0 0 0 0.3\n"
+        "0 0.1\n1 0.3\n2 0.2\n")
+    tables = read_text_fst(str(lm))
+    cached_tabs = tables.device_arrays(n_ilabels=5, cache_max_bytes=1 << 20)
+    assert "adv_cost" in cached_tabs
+    base = dict(beam_size=6, n_best=4, max_symbols=5, lm_scale=0.8,
+                max_fst_states=4, lm_per_token=True, nonblk_reward=0.2)
+    full = beam_search(model, variables, enc, lens,
+                       BeamConfig(lm_topm=3, **base),
+                       fst_tables=cached_tabs, fst_start=tables.start)
+    exact = beam_search(model, variables, enc, lens,
+                        BeamConfig(lm_topm=0, **base),
+                        fst_tables=cached_tabs, fst_start=tables.start)
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(exact["tokens"]))
+    np.testing.assert_array_equal(np.asarray(full["lens"]),
+                                  np.asarray(exact["lens"]))
+    np.testing.assert_allclose(np.asarray(full["scores"]),
+                               np.asarray(exact["scores"]), rtol=1e-6)
+
+
+def test_per_token_exact_matches_exhaustive(rng, tmp_path):
+    """Exact mode must return the brute-force argmax of Viterbi-model +
+    lm_scale * LM over all label sequences (same bar as the top-m test)."""
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text("0 0 2 2 2.0\n0 0 3 3 0.3\n0 0.1\n")
+    tables = read_text_fst(str(lm))
+    cached = tables.device_arrays(n_ilabels=4, cache_max_bytes=1 << 20)
+    assert "adv_cost" in cached
+    scale = 0.7
+    out = beam_search(
+        model, variables, enc, lens,
+        BeamConfig(beam_size=16, n_best=2, max_symbols=4, lm_scale=scale,
+                   max_fst_states=4, lm_per_token=True, lm_topm=0),
+        fst_tables=cached, fst_start=tables.start)
+    cost = {1: 2.0, 2: 0.3}
+    best_score, best_seq = -1e30, None
+    for length in range(0, 4):
+        for seq in itertools.product([1, 2], repeat=length):
+            s = _path_logprob(model, variables, enc[0], list(seq))
+            s += scale * (-sum(cost[t] for t in seq) - 0.1)
+            if s > best_score:
+                best_score, best_seq = s, list(seq)
+    got_len = int(out["lens"][0, 0])
+    got = list(np.asarray(out["tokens"][0, 0, :got_len]))
+    assert got == best_seq, f"beam {got} vs brute {best_seq}"
+    np.testing.assert_allclose(float(out["scores"][0, 0]), best_score, rtol=1e-4)
+
+
+def test_per_token_exact_requires_cache(rng, tmp_path):
+    model, variables, cfg = _tiny_model(rng, vocab=3)
+    enc, lens = _enc(model, variables, rng, b=1, t=3)
+    lm = tmp_path / "lm.fst.txt"
+    lm.write_text("0 0 2 2 2.0\n0 0 3 3 0.3\n0 0.1\n")
+    tables = read_text_fst(str(lm))
+    with pytest.raises(ValueError, match="advance cache"):
+        beam_search(model, variables, enc, lens,
+                    BeamConfig(beam_size=2, max_symbols=4, lm_scale=0.5,
+                               lm_per_token=True, lm_topm=0),
+                    fst_tables=tables.device_arrays(), fst_start=tables.start)
+
+
 @pytest.mark.parametrize("per_token", [True, False])
 def test_fusion_cache_decode_identical(rng, tmp_path, per_token):
     """Beam search with the host-precomputed advance/final caches attached

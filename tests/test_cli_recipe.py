@@ -313,6 +313,60 @@ def test_full_recipe(tmp_path, rng):
         f"WER with independent-LAS rescoring too high: {wer3}"
 
 
+@pytest.mark.slow
+def test_pruned_loss_recipe(tmp_path, rng):
+    """RNN-T training with the pruned objective (--pruned_loss_range)
+    through the real CLI: the model gains the simple-joint heads, the
+    bundle round-trips config.simple_joint, and the trained model decodes
+    to the same WER regime as the full-lattice objective."""
+    import json
+
+    _make_corpus(tmp_path, 24, rng)
+    d = str(tmp_path)
+    prep_main(["wav_to_seq", f"{d}/wav.scp", f"{d}/train.mrk", f"{d}/train.seq"])
+    with open(f"{d}/data.lst", "w") as f:
+        f.write(f"{d}/train.mrk.0 {d}/train.seq.0 ark:{d}/label.txt\n")
+    conf = tmp_path / "fbank.conf"
+    conf.write_text("--window-type=hamming\n--sample-frequency=16000\n--dither=0\n"
+                    "--low-freq=40\n--high-freq=-200\n--num-mel-bins=20\n")
+    prep_main(["compute_global_cmvn", f"{d}/data.lst", f"{d}/global_cmvn.stats",
+               "--feat_config", str(conf), "--no_normalize"])
+    os.makedirs(f"{d}/exp", exist_ok=True)
+    train_main([
+        f"{d}/data.lst", f"{d}/train.log", f"{d}/exp",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--encoder_type", "rnn", "--decoder_type", "rnn",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--rnn_size", "48", "--embd_dim", "16",
+        "--output_dim", str(VOCAB), "--dropout", "0.0",
+        "--optim", "sgd", "--initial_lr", "0.05", "--final_lr", "0.01",
+        "--grad_clip", "3.0", "--num_epochs", "30",
+        "--num_batches_per_epoch", "3",
+        "--dp_mode", "sync", "--num_devices", "2", "--batch_size", "4",
+        "--pruned_loss_range", "3", "--simple_loss_scale", "0.5",
+        "--pruned_warmup_epochs", "8",
+    ])
+    model_dir = f"{d}/exp/model.epoch.29"
+    with open(f"{model_dir}/model.json") as f:
+        cfg = json.load(f)["config"]
+    assert cfg["simple_joint"] is True
+    # the simple heads really exist in the saved params
+    from pika_tpu.train.bundle import load_bundle
+    _, variables, _ = load_bundle(model_dir)
+    assert "simple_am" in variables["params"]
+    wer = eval_main([
+        model_dir, f"{d}/wav.scp", f"{d}/nbest.txt",
+        *COMMON_FLAGS,
+        "--feat_config", str(conf),
+        "--cmvn_stats", f"{d}/global_cmvn.stats",
+        "--ref_labels", f"ark:{d}/label.txt",
+        "--beam_size", "4", "--n_best", "4", "--max_symbols", "8",
+    ])
+    assert wer is not None and wer < 0.15, f"pruned-trained WER: {wer}"
+
+
 def test_select_las_input_dispatch():
     """The rescorer-input dispatch must never guess on an ambiguous dim
     tie (ADVICE r4): bundle metadata wins, the flag overrides everything,
@@ -374,6 +428,10 @@ def test_fusion_default_is_per_token():
     p = build_parser()
     a = p.parse_args(base)
     assert a.fst_fusion == "per_token" and not a.fst_per_token
+    # exact full-vocab selection is the default per-token configuration
+    # (faster AND removes the top-m restriction; falls back to top-8 when
+    # the dense advance cache is unavailable)
+    assert a.fst_topm == 0
     assert a.fst_per_token or a.fst_fusion == "per_token"  # resolution: pt
     a = p.parse_args(base + ["--fst_fusion", "per_beam"])
     assert not (a.fst_per_token or a.fst_fusion == "per_token")  # per-beam

@@ -10,6 +10,7 @@ egs/eval_transducer.sh:18-20).  Run on the real chip:
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
+import dataclasses
 import time
 
 import numpy as np
@@ -38,6 +39,10 @@ def main():
     ap.add_argument("--fst_cache_mb", type=int, default=512,
                     help="dense advance-cache budget (MB); 0 = the "
                          "on-device backoff-walk path (round-4 behavior)")
+    ap.add_argument("--fst_topm", type=int, default=0,
+                    help="per-token candidates per beam; 0 (the CLI "
+                         "default) = exact full-vocab selection via the "
+                         "dense cache")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +73,8 @@ def main():
                       sm_scale=1.2, max_symbols=args.max_symbols,
                       mm_dtype="auto",
                       lm_scale=0.5 if args.fst != "off" else 0.0,
-                      lm_per_token=(args.fst == "per_token"))
+                      lm_per_token=(args.fst == "per_token"),
+                      lm_topm=args.fst_topm)
     if args.fst != "off":
         # synthetic but realistically-shaped backoff bigram LM: a unigram
         # state with V arcs plus fst_states bigram contexts with ~40
@@ -109,6 +115,11 @@ def main():
             print(f"  advance cache: Lm={fst_tables['adv_cost'].shape[-1]}, "
                   f"{(fst_tables['adv_cost'].nbytes * 2) >> 20} MB, "
                   f"built in {time.perf_counter() - t0:.1f}s")
+
+    if (fst_tables is not None and args.fst_topm <= 0
+            and "adv_cost" not in fst_tables):
+        # exact selection needs the cache; mirror the CLI's fallback
+        bcfg = dataclasses.replace(bcfg, lm_topm=8)
 
     rng = np.random.default_rng(0)
     wavs = jnp.asarray((rng.standard_normal((args.batch, max_samples)) * 4000).astype(np.float32))
