@@ -51,7 +51,7 @@ N_REPS = 2
 TOLERANCE = 0.10
 
 
-def flop_model(t_frames: int, batch: int, u: int) -> float:
+def flop_model(t_frames: int, batch: int, u: int, pruned: int = 0) -> float:
     """Rough per-step training FLOPs for the flagship config (fwd ~= the
     matmul terms below; training ~= 3x fwd for fwd+bwd).  Dominant terms
     only — FFT, BatchNorm, softmax, elementwise are ignored, so this is a
@@ -71,8 +71,16 @@ def flop_model(t_frames: int, batch: int, u: int) -> float:
         fwd += 2 * 2 * t * nhid * (4 * nhid)    # ffn
     # 2-layer LSTM prediction net over U+1 symbols (8 matmuls of nhid^2/gate set)
     fwd += 2 * (u + 1) * 2 * 8 * nhid * nhid
-    # fused joint: per (t', u) position the vocab projection dominates
-    fwd += 2 * t4 * (u + 1) * nhid * VOCAB
+    if pruned:
+        # banded joint: vocab projection on s_range cells per frame, plus
+        # the simple heads (H->V over T and U) and the exp-space
+        # normalizer matmul (T x V x U)
+        fwd += 2 * t4 * pruned * nhid * VOCAB
+        fwd += 2 * (t4 + u + 1) * nhid * VOCAB
+        fwd += 2 * t4 * (u + 1) * VOCAB
+    else:
+        # fused joint: per (t', u) position the vocab projection dominates
+        fwd += 2 * t4 * (u + 1) * nhid * VOCAB
     fwd *= batch
     return 3.0 * fwd  # fwd + bwd
 
@@ -145,6 +153,13 @@ def main():
     # the per-head bernoulli path, "1" forces cheap.
     cheap_env = _os.environ.get("BENCH_CHEAP_DROPOUT", "auto")
     cheap = (rng_impl == "rbg") if cheap_env == "auto" else cheap_env == "1"
+    # BENCH_PRUNED=N measures the pruned RNN-T objective (--pruned_loss_range
+    # N in the trainers, ops/rnnt_pruned.py): the joint's B*T'*U*H*V output
+    # projection — the loss slice that the round-4 profile showed at 97% of
+    # its matmul roofline — shrinks to a per-frame band of N label
+    # positions.  A different (industry-standard, k2-style) objective, so
+    # it is a labeled row, not the default headline.
+    pruned = int(_os.environ.get("BENCH_PRUNED", "0"))
     cfg = TransducerConfig(
         input_dim=240, vocab_size=VOCAB, hid_dim=1024,
         encoder_type="tdnn_transformer", decoder_type="rnn",
@@ -153,6 +168,7 @@ def main():
         attn_chunk=int(_os.environ.get("BENCH_ATTN_CHUNK", "0")),
         attn_cheap_dropout=cheap,
         remat=_os.environ.get("BENCH_REMAT", "") == "1",
+        simple_joint=pruned > 0,
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg, max_t=80, max_u=8)
     tx = make_optimizer(
@@ -175,7 +191,8 @@ def main():
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
     step_fn = make_train_step(model, tx, featurizer, loss_chunk=16, jit=False,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              pruned_range=pruned)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -213,7 +230,7 @@ def main():
     spread = (max(rep_times) - min(rep_times)) / min(rep_times)
     step_ms = [t / N_STEPS * 1000 for t in rep_times]
     t_frames = 1 + (max_samples - 400) // 160  # Kaldi snip-edges frame count
-    tflops = flop_model(t_frames, BATCH, U_MAX) / (min(rep_times) / N_STEPS) / 1e12
+    tflops = flop_model(t_frames, BATCH, U_MAX, pruned) / (min(rep_times) / N_STEPS) / 1e12
     print(
         f"bench: compile+warm {compile_s:.1f}s; "
         f"per-step ms per rep: {[f'{m:.1f}' for m in step_ms]}, "
@@ -233,11 +250,13 @@ def main():
         sys.exit(1)
 
     utts_per_sec = BATCH * N_STEPS / min(rep_times)
+    loss_tag = f", pruned loss s={pruned}" if pruned else ""
     print(json.dumps({
         "metric": "rnnt_train_utterances_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
         "unit": f"utt/s (10s utts, batch {BATCH}, flagship TDNN-Transformer "
-                f"RNN-T, fused wav->loss step, {dtype_name} compute)",
+                f"RNN-T, fused wav->loss step, {dtype_name} compute"
+                f"{loss_tag})",
         "vs_baseline": None,
     }))
 

@@ -295,8 +295,9 @@ echo "chosen pt fst_lm_scale $pt_scale (dev WER $pt_best)" | tee -a $results
 fi
 
 echo "=== stage 9: per-token fusion (--fst_per_token) decodes ==="
-# per-candidate LM advance at selection time (the reference's
-# beam_transducer semantics) vs the default per-beam prefix bias
+# per-candidate LM advance at selection time (a pika_tpu extension; the
+# reference's own semantics is the per-beam prefix bias with winners-only
+# advance, beam_transducer.py:93-97,136-159 = stages 4b-8 above)
 wer_of base_fst_pt python -m pika_tpu.train.eval_transducer \
     $model $data/test/wav.scp $exp/nbest_fst_pt.txt \
     --ref_labels ark:$data/test/label.txt \
