@@ -71,6 +71,10 @@ def main():
                     help="attn_cheap_dropout: head-shared bits-threshold "
                          "attention-prob dropout (16x fewer random bits, "
                          "no bernoulli->uniform chain)")
+    ap.add_argument("--pruned", type=int, default=0,
+                    help="profile the pruned objective (--pruned_loss_range "
+                         "N): adds a pruned-loss stage and switches the "
+                         "FULL-step row to the pruned step")
     args = ap.parse_args()
     B = args.batch
 
@@ -105,6 +109,7 @@ def main():
         tdnn_transformer_dropout=args.dropout,
         attn_chunk=args.attn_chunk, remat=args.remat,
         attn_cheap_dropout=args.cheap_dropout,
+        simple_joint=args.pruned > 0,
     )
     model, variables = init_transducer(jax.random.PRNGKey(0), cfg,
                                        max_t=80, max_u=8)
@@ -193,6 +198,37 @@ def main():
     rows.append(("fused RNN-T loss fwd+bwd (pallas, d_ax only)",
                  chain_time(jax, jnp, loss_fn, (ax, (gx, ay, gy, w2, b2)))))
 
+    # 4a. pruned objective fwd+bwd at the same shapes (simple heads +
+    # simple DP + band selection + banded joint channels + banded DP)
+    if args.pruned:
+        from pika_tpu.ops.rnnt_pruned import (prune_ranges, rnnt_loss_pruned,
+                                              rnnt_loss_simple)
+        enc_in = jnp.asarray(rng.standard_normal((B, tp, 1024)).astype(np.float32))
+        dec_in = jnp.asarray(rng.standard_normal((B, U + 1, 1024)).astype(np.float32))
+        params0 = variables["params"]
+        nonp0 = {k_: v_ for k_, v_ in variables.items() if k_ != "params"}
+
+        def pruned_fn(e, d, nonp, p):
+            def loss(p_):
+                vs = {**nonp, "params": p_}
+                am, lm = model.apply(vs, e, d, method=Transducer.simple_factors)
+                simple, (blp, elp) = rnnt_loss_simple(
+                    am, lm, labels, tlens, ulens)
+                sb = prune_ranges(blp, elp, labels, tlens, ulens, args.pruned)
+                ax_, gx_, ay_, gy_ = model.apply(
+                    vs, e, d, method=Transducer.joint_factors)
+                w2_, b2_ = model.apply(vs, method=Transducer.joint_params)
+                pr = rnnt_loss_pruned(ax_, gx_, ay_, gy_, w2_, b2_, labels,
+                                      tlens, ulens, sb, args.pruned, chunk=64)
+                return pr.sum() + 0.5 * simple.sum()
+            g = jax.grad(loss)(p)
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+            return e + gsum * 1e-20, gsum
+        rows.append((f"pruned objective fwd+bwd (s={args.pruned}, incl. "
+                     "simple+ranges+factors)",
+                     chain_time(jax, jnp, pruned_fn,
+                                (enc_in, dec_in, nonp0, params0))))
+
     # 4b-4e. residual itemization (VERDICT r4 item 3): the pieces of the
     # step outside featurizer/encoder/loss, each as its own chained scan.
     dummy = jnp.zeros((8, 8), jnp.float32)
@@ -248,7 +284,7 @@ def main():
                        opt_state=tx.init(variables["params"]),
                        batch_stats=variables.get("batch_stats"))
     step_fn = make_train_step(model, tx, featurizer, loss_chunk=16,
-                              jit=False)
+                              jit=False, pruned_range=args.pruned)
     batch = {"wavs": wavs, "wav_lens": wlens, "labels": labels,
              "label_lens": ulens}
 
@@ -265,9 +301,12 @@ def main():
     for name, t in rows:
         print(f"  {name:45s} {t * 1000:8.1f} ms  ({t / full * 100:5.1f}% of step)")
     named = {n: t for n, t in rows}
+    loss_row = (f"pruned objective fwd+bwd (s={args.pruned}, incl. "
+                "simple+ranges+factors)" if args.pruned
+                else "fused RNN-T loss fwd+bwd (pallas, d_ax only)")
     known = (named["featurizer (fbank+splice+CMVN+SpecAug)"]
              + named["encoder fwd+bwd (train mode, dropout+BN)"]
-             + named["fused RNN-T loss fwd+bwd (pallas, d_ax only)"]
+             + named[loss_row]
              + named["pred net fwd+bwd (LSTM scan over U+1)"]
              + named["joint factor projections fwd+bwd"]
              + named["optimizer (inf-clip + momentum + apply)"])
