@@ -15,7 +15,7 @@ if [ -n "$1" ]; then
     while [ -e /proc/$1 ]; do sleep 15; done
 fi
 
-SEED=1
+SEED=${SEED:-1}
 work=/tmp/pika_grammar
 data=$work/data
 conf=$work/fbank.conf
