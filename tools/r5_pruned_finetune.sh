@@ -28,7 +28,14 @@ data=$work/data
 dev=$work/dev
 conf=$work/fbank.conf
 pruned_exp=$work/exp_seed${SEED}_pruned
-exp=$work/exp_seed${SEED}_prunedft
+# first measured config (10 epochs, lr 2e-4) lives in _prunedft; other
+# (FT_EPOCHS, FT_LR) points get their own dir
+FT_LR=${FT_LR:-0.0002}
+if [ "$FT_EPOCHS" = 10 ] && [ "$FT_LR" = 0.0002 ]; then
+    exp=$work/exp_seed${SEED}_prunedft
+else
+    exp=$work/exp_seed${SEED}_prunedft${FT_EPOCHS}_$FT_LR
+fi
 mkdir -p $exp
 results=$exp/RESULTS
 : > $results
@@ -49,7 +56,7 @@ echo "### full-loss fine-tune, $FT_EPOCHS epochs from pruned epoch 159 — $(dat
 [ -d $exp/model.epoch.$last ] || timeout 3000 python -m pika_tpu.train.train_transducer \
     $data/train/data.lst $exp/train.log $exp \
     --feat_config $conf --cmvn_stats $data/train/global_cmvn.stats \
-    --optim adam --initial_lr 0.0002 --final_lr 0.00005 \
+    --optim adam --initial_lr $FT_LR --final_lr 0.00005 \
     --num_epochs $FT_EPOCHS \
     --noise_lst $data/noise.lst --snr_range 10,30 \
     --init_model $pruned_exp/model.epoch.159 $model_flags
@@ -89,6 +96,7 @@ echo "### 4-best oracle after fine-tune" | tee -a $results
 python tools/nbest_oracle.py $exp/nbest.txt ark:$data/test/label.txt \
     $data/test/wav.scp 4 $data/char.txt 2>/dev/null | tail -1 | tee -a $results
 
+[ -n "$SKIP_SM_PROBE" ] && { echo "### PRUNED FINETUNE DONE $(date -u)"; cat $results; exit 0; }
 echo "### sm_scale 0.5 probe on the PURE pruned model (dev, no training)"
 wer_of dev_sm05_fst python -m pika_tpu.train.eval_transducer \
     $pruned_exp/model.epoch.159 $dev/test/wav.scp $exp/nbest_dev_sm05_fst.txt \
